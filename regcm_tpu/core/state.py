@@ -1,0 +1,100 @@
+"""Prognostic state pytrees.
+
+The reference triplicates state over leapfrog time levels
+(``atmstate_a/b/c``, ``Main/mpplib/mod_regcm_types.F90:169-203``). Here the
+state is a single frozen dataclass pytree with explicit ``_a`` (time n) and
+``_b`` (filtered n-1) levels; the ``_c`` (n+1) level exists only as
+temporaries inside the jitted step. All fields are *coupled* (multiplied by
+p* in cb) exactly like the reference prognostics.
+
+Shapes: 3-D fields (kz, iy, jx); tracers (nqx, kz, iy, jx); 2-D (iy, jx).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# tracer indices (mod_runparams iqv/iqc ordering; SUBEX uses 2 species)
+IQV = 0
+IQC = 1
+
+
+class StepFlags(NamedTuple):
+    """Static (compile-time) per-step physics cadence flags — the jit-safe
+    counterpart of the reference's syncro_rad/syncro_srf alarms
+    (Main/mpplib/mod_runparams.F90:51-75)."""
+    do_rad: bool = False
+    do_srf: bool = False
+    do_cum: bool = True
+    first: bool = False
+
+
+class HydroState(NamedTuple):
+    """Hydrostatic-core leapfrog state (idynamic=1)."""
+    ps_a: jax.Array      # p* = ps - ptop (cb), cross
+    ps_b: jax.Array
+    u_a: jax.Array       # p*·u (cb m/s), dot
+    u_b: jax.Array
+    v_a: jax.Array
+    v_b: jax.Array
+    t_a: jax.Array       # p*·T (cb K), cross
+    t_b: jax.Array
+    qx_a: jax.Array      # p*·q (cb kg/kg), (nqx, kz, iy, jx), cross
+    qx_b: jax.Array
+    # split-explicit mode storage (mod_split dstor/hstor), (nsplit, iy, jx)
+    dstor: jax.Array
+    hstor: jax.Array
+    # surface / physics persistent state
+    tg: jax.Array        # ground temperature (K), cross
+    rainnc: jax.Array    # accumulated large-scale precip (kg/m2)
+    rainc: jax.Array     # accumulated convective precip (kg/m2)
+    heatrt: jax.Array    # radiative heating rate (K/s, decoupled), (kz,iy,jx)
+    qfx: jax.Array       # surface moisture flux (kg/m2/s), cross
+    hfx: jax.Array       # surface sensible heat flux (W/m2), cross
+    uvdrag: jax.Array    # surface drag velocity coefficient, cross
+
+
+class BdyState(NamedTuple):
+    """Lateral boundary values (mod_bdycod v3dbound/v2dbound equivalents).
+
+    b0: value at the last boundary input time; bt: time tendency
+    (b1-b0)/dtbdys. Full-grid arrays; only the boundary zone is consumed.
+    xt: seconds since b0 was valid (host-updated scalar per step).
+    """
+    ps0: jax.Array       # (iy, jx)  p* bdy
+    pst: jax.Array
+    t0: jax.Array        # (kz, iy, jx), coupled p*T
+    tt: jax.Array
+    qv0: jax.Array       # coupled p*qv
+    qvt: jax.Array
+    u0: jax.Array
+    ut: jax.Array
+    v0: jax.Array
+    vt: jax.Array
+
+
+def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
+                dtype=jnp.float32) -> HydroState:
+    z2 = jnp.zeros((iy, jx), dtype)
+    z3 = jnp.zeros((kz, iy, jx), dtype)
+    z4 = jnp.zeros((nqx, kz, iy, jx), dtype)
+    zs = jnp.zeros((nsplit, iy, jx), dtype)
+    return HydroState(
+        ps_a=z2, ps_b=z2, u_a=z3, u_b=z3, v_a=z3, v_b=z3,
+        t_a=z3, t_b=z3, qx_a=z4, qx_b=z4, dstor=zs, hstor=zs,
+        tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
+        uvdrag=z2)
+
+
+def bdy_from_state(s: HydroState) -> BdyState:
+    """Fixed boundary values equal to the current state (synthetic runs)."""
+    z3 = jnp.zeros_like(s.t_a)
+    z2 = jnp.zeros_like(s.ps_a)
+    return BdyState(
+        ps0=s.ps_a, pst=z2,
+        t0=s.t_a, tt=z3,
+        qv0=s.qx_a[IQV], qvt=z3,
+        u0=s.u_a, ut=z3, v0=s.v_a, vt=z3)

@@ -1,0 +1,157 @@
+"""Model driver: initialize → run → finalize.
+
+Equivalent of ``Main/mod_regcm_interface.F90`` (RCM_initialize :59,
+RCM_run :167, RCM_finalize :237) + the init path ``Main/mod_init.F90:76``.
+The host loop owns calendars/alarms (timer system of
+``Main/mpplib/mod_timer.F90``); each iteration calls the jitted pure step.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.params import RegCMConfig
+from .core.grid import ModelGrid, build_grid
+from .core.state import HydroState, BdyState, StepFlags, IQV, IQC, zeros_hydro
+from .dynamics.hydrostatic import HydroCore, fix_cross_pad
+from .utils import constants as c
+from .utils.calendar import Date
+from .utils.vertical import sigma_levels
+
+
+def standard_atmosphere_state(grid: ModelGrid, cfg: RegCMConfig,
+                              dtype=jnp.float64,
+                              perturb: float = 0.0,
+                              seed: int = 0) -> HydroState:
+    """Cold start from a resting standard atmosphere (synthetic ICBC).
+
+    Mirrors the structure of mod_init cold start: atm1 = atm2 = coupled
+    initial fields. With flat terrain and no wind this is an exact rest
+    state of the equations (PGF=0); optional white-noise T perturbation
+    is used by the stability tests.
+    """
+    iy, jx, kz = grid.iy, grid.jx, grid.kz
+    ptop = grid.ptop
+    ps = np.full((iy, jx), 101.325 - ptop)  # p* (cb)
+    # standard-atmosphere temperature at half levels
+    p = grid.hsigma[:, None, None] * ps[None] + ptop      # cb
+    fac = c.rgas * c.lrate * c.regrav
+    t = c.stdt * (p / 101.325) ** fac
+    z = (c.stdt - t) / c.lrate
+    t = np.where(z > 10769.0, 218.15, t)
+    if perturb > 0.0:
+        rng = np.random.default_rng(seed)
+        t = t + perturb * rng.standard_normal(t.shape) \
+            * grid.m_cross_int[None]
+    # 50% RH w.r.t. the model's own (Flatau) saturation so the resting
+    # state is subsaturated everywhere (no spurious SUBEX condensation)
+    from .utils.thermo import pfwsat as _pfwsat
+    qv = np.maximum(0.5 * np.asarray(_pfwsat(jnp.asarray(t),
+                                             jnp.asarray(p * 1000.0))),
+                    c.minqq)
+    qv = np.minimum(qv, 0.015)
+    s = zeros_hydro(kz, iy, jx, dtype=dtype)
+    psj = jnp.asarray(ps, dtype)
+    tj = jnp.asarray(t * ps[None], dtype)
+    qvj = jnp.asarray(qv * ps[None], dtype)
+    qcj = jnp.zeros_like(qvj)
+    qx = jnp.stack([qvj, qcj])
+    tg = jnp.asarray(t[-1], dtype)
+    s = s._replace(ps_a=psj, ps_b=psj, t_a=tj, t_b=tj,
+                   qx_a=qx, qx_b=qx, tg=tg)
+    return s
+
+
+class Model:
+    """Top-level model object (RCM_initialize/run/finalize equivalent)."""
+
+    def __init__(self, cfg: RegCMConfig, grid: Optional[ModelGrid] = None,
+                 dtype=jnp.float64, physics=None,
+                 initial_state: Optional[HydroState] = None,
+                 bdy: Optional[BdyState] = None):
+        self.cfg = cfg
+        self.grid = grid or build_grid(cfg)
+        self.core = HydroCore(self.grid, cfg, dtype=dtype, physics=physics)
+        self.dtype = dtype
+        self.dtsec = cfg.dtsec
+        if initial_state is None:
+            initial_state = standard_atmosphere_state(self.grid, cfg, dtype)
+        self.state = self.core.init_split_storage(initial_state)
+        if bdy is None:
+            from .core.state import bdy_from_state
+            bdy = bdy_from_state(self.state)
+        self.bdy = bdy
+        self.start_date = Date.from_int(cfg.restart.mdate1,
+                                        cfg.globdat.calendar)
+        self.date = self.start_date
+        self.xbctime = 0.0
+        self.nstep = 0
+        self._step_jit = jax.jit(self.core.step, static_argnames=("flags",))
+
+    def step(self):
+        """Advance one timestep (first step forward-Euler dt, then
+        leapfrog 2dt: mod_tendency.F90:610-616)."""
+        dt = self.dtsec if self.nstep == 0 else 2.0 * self.dtsec
+        flags = self._flags()
+        self.state, diags = self._step_jit(
+            self.state, self.bdy,
+            jnp.asarray(self.xbctime, self.dtype),
+            jnp.asarray(dt, self.dtype), flags)
+        self.nstep += 1
+        self.xbctime += self.dtsec
+        self.date = self.date.add_seconds(self.dtsec)
+        return diags
+
+    def _flags(self) -> StepFlags:
+        """Physics cadence flags (syncro_rad/srf alarms,
+        Main/mpplib/mod_runparams.F90:51-75)."""
+        tp = self.cfg.time
+        elapsed = self.nstep * self.dtsec
+        def hit(interval):
+            if interval <= 0:
+                return False
+            return self.nstep == 0 or (elapsed % interval) < self.dtsec
+        return StepFlags(
+            do_rad=hit(tp.dtrad_sec),
+            do_srf=hit(tp.dtsrf),
+            do_cum=True,
+            first=(self.nstep == 0),
+        )
+
+    def run(self, nsteps: int, log_every: int = 0):
+        t0 = time.time()
+        diags = None
+        for n in range(nsteps):
+            diags = self.step()
+            if log_every and (n + 1) % log_every == 0:
+                d = {k: float(v) for k, v in diags.items()
+                     if jnp.ndim(v) == 0}
+                print(f"step {self.nstep} {self.date}: "
+                      + " ".join(f"{k}={v:.6g}" for k, v in d.items()))
+        jax.block_until_ready(self.state.ps_a)
+        wall = time.time() - t0
+        return diags, wall
+
+    # observability helpers
+    def check_finite(self) -> bool:
+        leaves = jax.tree_util.tree_leaves(self.state)
+        return all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+
+    def decoupled(self) -> Dict[str, np.ndarray]:
+        s = self.state
+        rps = 1.0 / np.asarray(s.ps_a)
+        from .dynamics.stencil import cross2dot
+        rpsd = 1.0 / np.asarray(cross2dot(s.ps_a))
+        return dict(
+            ps=(np.asarray(s.ps_a) + self.grid.ptop) * 10.0,  # hPa
+            t=np.asarray(s.t_a) * rps[None],
+            qv=np.asarray(s.qx_a[IQV]) * rps[None],
+            qc=np.asarray(s.qx_a[IQC]) * rps[None],
+            u=np.asarray(s.u_a) * rpsd[None],
+            v=np.asarray(s.v_a) * rpsd[None],
+        )

@@ -1,0 +1,830 @@
+"""Hydrostatic dynamical core (idynamic=1) as a pure jitted step.
+
+TPU-first re-design of the reference's leapfrog split-explicit hydrostatic
+core (``Main/mod_tendency.F90:212`` `tend` and its internal phases, plus
+``Main/mod_advection.F90``, ``Main/mod_diffusion.F90``,
+``Main/mod_timefilter.F90``, ``Main/mod_split.F90``,
+``Main/mod_bdycod.F90`` nudging). One model step is a single pure function
+``state' = step(state, bdy, xt, dt)`` traced once by XLA; stencils are
+expressed as static pad/slice ops so GSPMD inserts halo exchanges when the
+arrays are sharded over a device mesh.
+
+Prognostics are p*-coupled exactly like the reference (Arakawa-B grid,
+sigma-p coordinate, ps/ptop in cb). The MM5 discrete equations follow the
+file:line-cited phases; physics plugs in through the ``physics`` callable.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import ModelGrid
+from ..core.state import HydroState, BdyState, StepFlags, IQV, IQC
+from ..config.params import RegCMConfig
+from ..utils import constants as c
+from ..utils.thermo import pfesat, pfwsat, wlh
+from .stencil import shift, shifte, kshift, cross2dot, dot2cross
+from .vmodes import make_split_coeffs
+
+
+def fix_cross_pad(a):
+    """Re-replicate the dead padding row/col of a cross-grid array."""
+    a = a.at[..., -1, :].set(a[..., -2, :])
+    a = a.at[..., :, -1].set(a[..., :, -2])
+    return a
+
+
+def cpmf(qv):
+    """Moist heat capacity (Share/cpmf.inc): cpd·(1+0.80 qv)."""
+    return c.cpd * (1.0 + 0.80 * qv)
+
+
+class HydroCore:
+    """Holds compile-time constants; `step` is the pure model step."""
+
+    def __init__(self, grid: ModelGrid, cfg: RegCMConfig,
+                 dtype=jnp.float64,
+                 physics: Optional[Callable] = None):
+        self.grid = grid
+        self.cfg = cfg
+        self.dtype = dtype
+        f = lambda x: jnp.asarray(x, dtype)
+        g = grid
+        kz = g.kz
+        self.kz = kz
+        self.nqx = 2
+        self.ptop = float(g.ptop)
+        self.dx = float(g.ds)
+        self.dtsec = cfg.dtsec
+
+        # 2-D constants
+        self.msfx = f(g.msfx)
+        self.msfd = f(g.msfd)
+        self.coriol = f(g.coriol)
+        self.ht = f(g.ht)
+        self.xmapf = 1.0 / (self.msfx ** 2 * 4.0 * self.dx)   # mod_params:1997
+        self.dmapf = 1.0 / (self.msfd ** 2 * 16.0 * self.dx)  # mod_params:1996
+        self.m_c = f(g.m_cross)
+        self.m_ci = f(g.m_cross_int)
+        self.m_ci2 = f(g.m_cross_int2)
+        self.m_di = f(g.m_dot_int)
+        self.m_di2 = f(g.m_dot_int2)
+        # edge masks
+        self.e_c = {k: f(v) for k, v in g.e_cross.items()}
+        self.e_d = {k: f(v) for k, v in g.e_dot.items()}
+        ec = sum(g.e_cross.values())
+        self.e_call = f(np.minimum(ec, 1.0))
+        ed = sum(g.e_dot.values())
+        self.e_dall = f(np.minimum(ed, 1.0))
+        # two outer dot rings (decouple boundary wind override,
+        # mod_tendency decouple :906-1009)
+        iy, jx = g.iy, g.jx
+        d2 = np.zeros((iy, jx))
+        d2[:2, :] = 1.0
+        d2[-2:, :] = 1.0
+        d2[:, :2] = 1.0
+        d2[:, -2:] = 1.0
+        self.e_d2 = f(d2)
+        # boundary-ring cross mask without dead padding
+        self.m_cross_ring = f(np.minimum(ec, 1.0))
+
+        # vertical
+        self.sigma = f(g.sigma)          # (kz+1,)
+        self.hsigma = f(g.hsigma)        # (kz,)
+        self.dsigma = f(g.dsigma)
+        self.twt1 = f(g.twt[:, 0])[:, None, None]
+        self.twt2 = f(g.twt[:, 1])[:, None, None]
+        self.qcon = f(g.qcon)[:, None, None]
+        self.hsig3 = self.hsigma[:, None, None]
+        self.dsig3 = self.dsigma[:, None, None]
+        self.sig3 = self.sigma[:, None, None]
+
+        # nudging coefficient maps
+        self.nfc = f(g.nudge_fc)
+        self.ngc = f(g.nudge_gc)
+        self.nfd = f(g.nudge_fd)
+        self.ngd = f(g.nudge_gd)
+        self.hgfact = f(g.hgfact)
+        self.xkhmax = float(g.extras["xkhmax"])
+        self.dydc = float(g.extras["dydc"])
+
+        # split-explicit coefficients
+        nsplit = cfg.hydro.nsplit
+        self.nsplit = nsplit
+        sc = make_split_coeffs(g.sigma, self.ptop, nsplit, cfg.dtsec)
+        self.sc = sc
+        self.sp_aam = [int(a) for a in sc.aam]
+        self.sp_dtau = [float(d) for d in sc.dtau]
+        self.sp_hbar = f(sc.hbar)
+        self.sp_an = f(sc.an)
+        self.sp_am = f(sc.am)                  # (kz, nsplit)
+        self.sp_zmatx = f(sc.zmatx)            # (kz, nsplit) ×fac
+        self.sp_zmatxr = f(sc.zmatxr)          # (nsplit, kz)
+        self.sp_tau = f(sc.tau_n)              # (nsplit, kz)
+        # precompute delh constants: const(l) + slope(l)·(ps-pd)
+        sigmah = sc.sigmah                     # (kz+1,) with last=1
+        pdlog = np.log(sigmah * sc.pd + self.ptop)
+        ceps = sigmah / (sigmah * sc.pd + self.ptop)
+        self.sp_hconst = f(sc.varpa1_n @ pdlog)          # (nsplit,)
+        self.sp_hslope = f(sc.varpa1_n @ ceps)           # (nsplit,)
+        self.sp_pd = float(sc.pd)
+
+        # physics hook: physics(core, slice_dict, state, flags) ->
+        #   (tphy, qxphy, uphy_d, vphy_d, surface_updates_dict)
+        self.physics = physics
+
+        # SUBEX parameters (subexparam, Main/mod_params.F90)
+        sx = cfg.subex
+        lnd = f(g.lndocn)
+        self.qck1 = jnp.where(lnd > 0.5, sx.qck1land, sx.qck1oce)
+        self.cgul = jnp.where(lnd > 0.5, sx.gulland, sx.guloce)
+        self.cevap = jnp.where(lnd > 0.5, sx.cevaplnd, sx.cevapoce)
+        self.caccr = jnp.where(lnd > 0.5, sx.caccrlnd, sx.caccroce)
+        self.rh0 = jnp.where(lnd > 0.5, sx.rh0land, sx.rh0oce)
+        self.rhmax = sx.rhmax
+        self.rhmin = 0.01
+        self.tc0 = 238.0
+        self.conf = sx.conf
+        self.gnu1 = cfg.dyn.gnu1
+        self.gnu2 = cfg.dyn.gnu2
+        self.iboudy = cfg.physics.iboudy
+        # temperature advection form (mod_tendency ithadv; 0 = plain T
+        # flux advection + omega heating, 1 = theta advection)
+        self.ithadv = int(cfg.dyn.extras.get("ithadv", 0))
+
+    # ------------------------------------------------------------------
+    # phase implementations (all pure; arrays (kz, iy, jx) or (iy, jx))
+    # ------------------------------------------------------------------
+
+    def _advection_uv(self, ua, va, ud, vd, uc, vc, svv):
+        """hadvuv + vadvuv (Main/mod_advection.F90:124-305).
+
+        ua/va: coupled·msfd (umc); ud/vd decoupled; uc/vc coupled;
+        svv: qdot on full levels (kz+1, iy, jx). Returns (uten, vten)."""
+        # 9-point monotone weights
+        ucmona = shift(ua, 1, 0) + 2.0 * ua + shift(ua, -1, 0)
+        ucmonb = shift(ua, 1, 1) + 2.0 * shift(ua, 0, 1) + shift(ua, -1, 1)
+        ucmonc = shift(ua, 1, -1) + 2.0 * shift(ua, 0, -1) + shift(ua, -1, -1)
+        vcmona = shift(va, 0, 1) + 2.0 * va + shift(va, 0, -1)
+        vcmonb = shift(va, 1, 1) + 2.0 * shift(va, 1, 0) + shift(va, 1, -1)
+        vcmonc = shift(va, -1, 1) + 2.0 * shift(va, -1, 0) + shift(va, -1, -1)
+        ucb = ucmona + ucmonb
+        ucc_ = ucmonc + ucmona
+        vcb = vcmona + vcmonb
+        vcc_ = vcmonc + vcmona
+        uten = -self.dmapf * (
+            (shift(ud, 0, 1) + ud) * ucb - (ud + shift(ud, 0, -1)) * ucc_
+            + (shift(ud, 1, 0) + ud) * vcb - (ud + shift(ud, -1, 0)) * vcc_)
+        vten = -self.dmapf * (
+            (shift(vd, 0, 1) + vd) * ucb - (vd + shift(vd, 0, -1)) * ucc_
+            + (shift(vd, 1, 0) + vd) * vcb - (vd + shift(vd, -1, 0)) * vcc_)
+        # vertical advection (vadvuv): svv averaged to dot
+        qq = 0.25 * (svv + shifte(svv, 0, -1) + shifte(svv, -1, 0)
+                     + shifte(svv, -1, -1))       # (kz+1, iy, jx) at dot
+        # flux at interior full levels k=1..kz-1 (0-based)
+        uf = qq[1:self.kz] * (self.twt1[1:] * uc[1:]
+                              + self.twt2[1:] * uc[:-1])
+        vf = qq[1:self.kz] * (self.twt1[1:] * vc[1:]
+                              + self.twt2[1:] * vc[:-1])
+        zt = jnp.zeros_like(uc[:1])
+        ufp = jnp.concatenate([zt, uf, zt], axis=0)   # (kz+1,…) interface flux
+        vfp = jnp.concatenate([zt, vf, zt], axis=0)
+        # level l tendency = (F_l − F_{l+1})/Δσ_l (vadvuv,
+        # Main/mod_advection.F90:297-303)
+        uten = uten + (ufp[:-1] - ufp[1:]) / self.dsig3
+        vten = vten + (vfp[:-1] - vfp[1:]) / self.dsig3
+        return uten * self.m_di, vten * self.m_di
+
+    def _hadv_scalar(self, fdec, uavg1, uavg2, vavg1, vavg2):
+        """Flux-form horizontal advection of a decoupled cross scalar
+        (hadvt/hadv3d ind=0, Main/mod_advection.F90:311-424)."""
+        fx1 = shift(fdec, 0, -1) + fdec
+        fx2 = fdec + shift(fdec, 0, 1)
+        fy1 = shift(fdec, -1, 0) + fdec
+        fy2 = fdec + shift(fdec, 1, 0)
+        return -self.xmapf * (uavg2 * fx2 - uavg1 * fx1
+                              + vavg2 * fy2 - vavg1 * fy1) * self.m_ci
+
+    def _vadv_flux(self, fint, svv):
+        """Generic vertical flux divergence: fint (kz-1,…) interface flux
+        values at interior full levels (already × svv);
+        ften[k-1] -= f/ds[k-1]; ften[k] += f/ds[k]."""
+        zt = jnp.zeros_like(fint[:1])
+        fp = jnp.concatenate([zt, fint, zt], axis=0)
+        return (fp[:-1] - fp[1:]) / self.dsig3
+
+    def step(self, s: HydroState, bdy: BdyState, xt, dt,
+             flags: StepFlags = StepFlags()
+             ) -> Tuple[HydroState, Dict[str, jax.Array]]:
+        """One leapfrog step (tend, Main/mod_tendency.F90:212-560).
+
+        xt: seconds since boundary b0 time; dt: leapfrog step (dtsec on
+        the very first step, 2·dtsec after: mod_tendency.F90:610-616).
+        """
+        g = self.grid
+        kz, iy, jx = self.kz, g.iy, g.jx
+        ptop = self.ptop
+
+        # -- surface_pressures (mod_tendency.F90:815-850) ----------------
+        psa = s.ps_a
+        psb = s.ps_b
+        rpsa = 1.0 / psa
+        rpsb = 1.0 / psb
+        psdota = cross2dot(psa)
+        psdotb = cross2dot(psb)
+        rpsda = 1.0 / psdota
+
+        # -- decouple (mod_tendency.F90:852-1110) ------------------------
+        uc = s.u_a                       # coupled p*·u (dot)
+        vc = s.v_a
+        umc = uc * self.msfd
+        vmc = vc * self.msfd
+        ud = uc * rpsda
+        vd = vc * rpsda
+        # boundary override of decoupled winds on two outer dot rings
+        ub_bdy = (bdy.u0 + xt * bdy.ut) * rpsda
+        vb_bdy = (bdy.v0 + xt * bdy.vt) * rpsda
+        ud = jnp.where(self.e_d2 > 0.5, ub_bdy, ud)
+        vd = jnp.where(self.e_d2 > 0.5, vb_bdy, vd)
+        umd = ud * self.msfd
+        vmd = vd * self.msfd
+        tdec = s.t_a * rpsa
+        qvdec = jnp.maximum(s.qx_a[IQV] * rpsa, c.minqq)
+        qcdec = jnp.maximum(s.qx_a[IQC] * rpsa, 0.0)
+        tv = tdec * (1.0 + c.ep1 * qvdec)
+
+        # -- compute_omega (mod_tendency.F90:1118-1225) ------------------
+        rmsfx2 = 1.0 / (2.0 * self.dx * self.msfx ** 2)
+        div = ((shift(umc, 1, 1) + shift(umc, 0, 1)
+                - shift(umc, 1, 0) - umc)
+               + (shift(vmc, 1, 1) + shift(vmc, 1, 0)
+                  - shift(vmc, 0, 1) - vmc)) * rmsfx2      # (kz, iy, jx)
+        div = div * self.m_c
+        pten = -jnp.sum(div * self.dsig3, axis=0)          # (iy, jx)
+        # qdot at interfaces (kz+1): qdot[k] = qdot[k-1] - (pten+div[k-1])
+        #                                       ·dsigma[k-1]·rpsa
+        inc = -(pten[None] + div) * self.dsig3 * rpsa[None]
+        qdot = jnp.concatenate(
+            [jnp.zeros((1, iy, jx), self.dtype),
+             jnp.cumsum(inc, axis=0)], axis=0)
+        # top & bottom interfaces are zero by construction/convention
+        qdot = qdot.at[kz].set(0.0)
+        # omega (cb/s) at half levels, interior cross
+        udsum = ud + shift(ud, 0, 1) + shift(ud, 1, 1) + shift(ud, 1, 0)
+        vdsum = vd + shift(vd, 0, 1) + shift(vd, 1, 1) + shift(vd, 1, 0)
+        dpsx = shift(psa, 0, 1) - shift(psa, 0, -1)
+        dpsy = shift(psa, 1, 0) - shift(psa, -1, 0)
+        omega = (0.5 * (qdot[1:] + qdot[:-1]) * psa[None]
+                 + self.hsig3 * (pten[None]
+                                 + (udsum * dpsx[None] + vdsum * dpsy[None])
+                                 / (8.0 * self.dx * self.msfx)[None]))
+        omega = omega * self.m_ci
+
+        # -- mkslice (Main/mod_slice.F90:102-340) ------------------------
+        ubd3 = s.u_b / psdotb            # decoupled b-level winds (dot)
+        vbd3 = s.v_b / psdotb
+        ubx3 = dot2cross(ubd3)
+        vbx3 = dot2cross(vbd3)
+        tb3 = s.t_b * rpsb
+        qvb3 = jnp.maximum(s.qx_b[IQV] * rpsb, c.minqq)
+        qcb3 = jnp.maximum(s.qx_b[IQC] * rpsb, 0.0)
+        tvb3 = tb3 * (1.0 + c.ep1 * qvb3 - qcb3)
+        pb3 = (self.hsig3 * psb[None] + ptop) * 1000.0      # Pa half levels
+        pf3 = (self.sig3 * psb[None] + ptop) * 1000.0       # Pa interfaces
+        ps2d = (psb + ptop) * 1000.0
+        rhob3 = pb3 / (c.rgas * tb3)
+        qsb3 = pfwsat(tb3, pb3)
+        rhb3 = jnp.clip(qvb3 / qsb3, self.rhmin, self.rhmax)
+        # heights (za at half levels), zq interfaces
+        cell = ptop * rpsb[None]
+        dzq_fac = c.rovg * tvb3 * jnp.log((self.sig3[1:] + cell)
+                                          / (self.sig3[:-1] + cell))
+        # zq[k] = sum of dzq from below: zq[kz]=0
+        zq = jnp.concatenate(
+            [jnp.flip(jnp.cumsum(jnp.flip(dzq_fac, 0), axis=0), 0),
+             jnp.zeros((1, iy, jx), self.dtype)], axis=0)
+        za = 0.5 * (zq[:-1] + zq[1:])
+        dzq = zq[:-1] - zq[1:]
+
+        atms = dict(ubd3=ubd3, vbd3=vbd3, ubx3=ubx3, vbx3=vbx3, tb3=tb3,
+                    qvb3=qvb3, qcb3=qcb3, tvb3=tvb3, pb3=pb3, pf3=pf3,
+                    ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
+                    za=za, zq=zq, dzq=dzq, psb=psb, psa=psa,
+                    omega_pa=omega * 1000.0, qdot=qdot, rpsb=rpsb)
+
+        # -- new_pressure (mod_tendency.F90:1428-1460) -------------------
+        ps_bdy_diff = (bdy.ps0 + (xt + dt) * bdy.pst) - psb
+        pten_n = pten + self._nudge2d(ps_bdy_diff)
+        psc = psb + pten_n * dt
+        psc = fix_cross_pad(psc)
+        rpsc = 1.0 / psc
+
+        # -- calc_coeff (Main/mod_diffusion.F90:148-255) -----------------
+        dudx = (shift(ubd3, 1, 1) + shift(ubd3, 0, 1) - shift(ubd3, 1, 0)
+                - ubd3)
+        dvdx = (shift(vbd3, 1, 1) + shift(vbd3, 0, 1) - shift(vbd3, 1, 0)
+                - vbd3)
+        dudy = (shift(ubd3, 1, 0) + shift(ubd3, 1, 1) - ubd3
+                - shift(ubd3, 0, 1))
+        dvdy = (shift(vbd3, 1, 0) + shift(vbd3, 1, 1) - vbd3
+                - shift(vbd3, 0, 1))
+        duv = jnp.sqrt((dudx - dvdy) ** 2 + (dvdx + dudy) ** 2)
+        xkc_raw = jnp.minimum(self.hgfact[None] + self.dydc * duv,
+                              self.xkhmax) * self.m_c
+        xkc_raw = fix_cross_pad(xkc_raw)
+        xkd = 0.25 * (xkc_raw + shifte(xkc_raw, -1, -1)
+                      + shifte(xkc_raw, 0, -1) + shifte(xkc_raw, -1, 0))
+        rdxsq = 1.0 / (self.dx * self.dx)
+        xkc = xkc_raw * rdxsq * psb[None]
+        xkd = xkd * rdxsq * psdotb[None]
+
+        # -- advection (mod_tendency.F90:1270-1426) ----------------------
+        # precompute (start_advect)
+        uavg1 = shift(umc, 1, 0) + umc
+        uavg2 = shift(umc, 1, 1) + shift(umc, 0, 1)
+        vavg1 = shift(vmc, 0, 1) + vmc
+        vavg2 = shift(vmc, 1, 1) + shift(vmc, 1, 0)
+
+        udyn, vdyn = self._advection_uv(umc, vmc, ud, vd, uc, vc, qdot)
+
+        # temperature advection — two reference forms:
+        if self.ithadv == 1:
+            # theta-advection (ithadv=1, mod_tendency.F90:1352-1366
+            # + adiabatic :1597-1604)
+            pr_a = (self.hsig3 * psa[None] + ptop) * 1000.0
+            th = tdec * (c.stdp / pr_a) ** c.rovcp
+            tha = th * psa[None]
+            thten = self._hadv_scalar(th, uavg1, uavg2, vavg1, vavg2)
+            # vadv3d ind=0 nk=kz on tha: interface flux at k=1..kz-1
+            fth = qdot[1:kz] * (self.twt1[1:] * tha[1:]
+                                + self.twt2[1:] * tha[:-1])
+            thten = thten + self._vadv_flux(fth, qdot)
+        else:
+            # plain T flux advection (ithadv=0): hadv(atmx%t) +
+            # vadv3d ind=1 with exner-weighted interface interpolation
+            # (mod_advection.F90:730-790)
+            tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2)
+            pfs = (self.sig3 * psa[None] + ptop) * 1000.0   # (kz+1)
+            phs = (self.hsig3 * psa[None] + ptop) * 1000.0
+            ta = s.t_a
+            fT = qdot[1:kz] * (
+                self.twt1[1:] * ta[1:]
+                * (pfs[1:kz] / phs[1:]) ** c.c287
+                + self.twt2[1:] * ta[:-1]
+                * (pfs[1:kz] / phs[:-1]) ** c.c287)
+            tdyn0 = tdyn0 + self._vadv_flux(fT, qdot)
+        # qv: hadvqv on decoupled + vadvqv on coupled
+        qvten = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
+        qva = s.qx_a[IQV]
+        ok = ((qva[1:] > c.minqq * psa[None])
+              & (qva[:-1] > c.minqq * psa[None]))
+        fgq = jnp.where(ok, qva[1:] * (qva[:-1]
+                                       / jnp.maximum(qva[1:], 1e-30))
+                        ** self.qcon[1:], 0.0)
+        qvten = qvten + self._vadv_flux(qdot[1:kz] * fgq, qdot)
+        # qc: hadv + vadv4d ind=1
+        qcten = self._hadv_scalar(qcdec, uavg1, uavg2, vavg1, vavg2)
+        qca = s.qx_a[IQC]
+        fi = self.twt1[1:] * qca[1:] + self.twt2[1:] * qca[:-1]
+        thr = c.minqq * c.minqq * psa[None]
+        okup = qca[:-1] > thr      # svv>0 uses k-1
+        okdn = qca[1:] > thr
+        fqc = jnp.where(qdot[1:kz] > 0.0,
+                        jnp.where(okup, qdot[1:kz] * fi, 0.0),
+                        jnp.where(okdn, qdot[1:kz] * fi, 0.0))
+        qcten = qcten + self._vadv_flux(fqc, qdot)
+
+        # -- curvature: Coriolis (mod_tendency.F90:1822-1848) ------------
+        udyn = udyn + self.coriol[None] * vc * self.m_di
+        vdyn = vdyn - self.coriol[None] * uc * self.m_di
+
+        # -- adiabatic (mod_tendency.F90:1555-1580 + theta term) ---------
+        if self.ithadv == 1:
+            thten = thten + th * div
+            tdyn = s.t_a * thten / jnp.where(tha == 0.0, 1.0, tha) \
+                * self.m_ci
+        else:
+            # omega heating: tdyn += ω·(R/cpm)·Tv/(ptop/p*+σ)
+            # (mod_tendency.F90:1568-1576)
+            rovcpm = c.rgas / cpmf(qvdec)
+            tdyn = tdyn0 + (omega * rovcpm * tv
+                            / (ptop * rpsa[None] + self.hsig3)) * self.m_ci
+
+        # -- boundary nudging (mod_tendency.F90:1462-1513, nudge3d
+        #    Main/mod_bdycod.F90:4218) ------------------------------------
+        xtd = xt + dt
+        tdyn = tdyn + self._nudge3(
+            (bdy.t0 + xtd * bdy.tt) - s.t_b, self.nfc, self.ngc)
+        qvten = qvten + self._nudge3(
+            (bdy.qv0 + xtd * bdy.qvt) - s.qx_b[IQV], self.nfc, self.ngc)
+        udyn = udyn + self._nudge3(
+            (bdy.u0 + xtd * bdy.ut) - s.u_b, self.nfd, self.ngd, dot=True)
+        vdyn = vdyn + self._nudge3(
+            (bdy.v0 + xtd * bdy.vt) - s.v_b, self.nfd, self.ngd, dot=True)
+
+        # -- physics (mod_tendency.F90:1682-1820) ------------------------
+        tphy = jnp.zeros_like(tdyn)
+        qvphy = jnp.zeros_like(qvten)
+        qcphy = jnp.zeros_like(qcten)
+        uphy = jnp.zeros_like(udyn)
+        vphy = jnp.zeros_like(vdyn)
+        sfupd: Dict[str, jax.Array] = {}
+        cldfra = jnp.zeros_like(tdyn)
+        heatrt = s.heatrt
+        if self.physics is not None:
+            (tphy, qvphy, qcphy, uphy, vphy, cldfra,
+             heatrt, sfupd) = self.physics(self, atms, s, bdy, flags, dt)
+        # radiation heating: tphy += psb·heatrt (mod_tendency.F90:1776)
+        tphy = tphy + psb[None] * heatrt * self.m_ci
+
+        # -- diffusion (mod_tendency.F90:1515-1553) ----------------------
+        udyn = udyn + self._diffu_dot(ubd3, xkd)
+        vdyn = vdyn + self._diffu_dot(vbd3, xkd)
+        tdyn = tdyn + self._diffu_cross(tb3, xkc)
+        qvten = qvten + self._diffu_cross(qvb3, xkc)
+        qcten = qcten + self._diffu_cross(qcb3, xkc)
+
+        # -- total tendencies + SUBEX condtq -----------------------------
+        tten = tdyn + tphy
+        qvten_t = qvten + qvphy
+        qcten_t = qcten + qcphy
+        if self.cfg.physics.ipptls == 1:
+            dtc, dqv, dqc = self._condtq(s, tten, qvten_t, qcten_t,
+                                         psc, rpsc, cldfra, dt)
+            tten = tten + dtc
+            qvten_t = qvten_t + dqv
+            qcten_t = qcten_t + dqc
+
+        # -- forecast t, qx at tau+1 (mod_tendency.F90:380-420) ----------
+        tc = s.t_b + dt * tten * self.m_ci
+        qvc = s.qx_b[IQV] + dt * qvten_t * self.m_ci
+        qcc = s.qx_b[IQC] + dt * qcten_t * self.m_ci
+        # negative-water fix: qx<0 → 1% of |3×3 neighborhood| mean
+        qvc = self._negfix(qvc)
+        qcc = self._negfix(qcc)
+
+        # -- PGF (mod_tendency.F90:1886-2120, ipgf=0) --------------------
+        td = s.t_a * (1.0 + c.ep1 * qvdec)       # coupled p*Tv (beta_hyd=1)
+        tvfac = 1.0 / (1.0 + qcdec / (1.0 + qvdec))
+        ptrps = ptop * rpsa[None]
+        # geopotential integration bottom-up
+        logfac = jnp.log((self.hsig3 + ptrps)
+                         / jnp.concatenate(
+                             [self.hsig3[1:] + ptrps,
+                              1.0 + ptrps[:1] * jnp.ones((1, iy, jx),
+                                                         self.dtype)],
+                             axis=0))
+        # lowest layer term uses td[kz-1]·rpsa·tvfac; above: weighted avg
+        tvavg_up = ((td[:-1] * self.dsig3[:-1] + td[1:] * self.dsig3[1:])
+                    / (psa[None] * (self.dsig3[:-1] + self.dsig3[1:]))
+                    * tvfac[:-1])
+        phi_kz = self.ht - c.rgas * (td[kz - 1] * rpsa * tvfac[kz - 1]) \
+            * logfac[kz - 1]
+        incs = -c.rgas * tvavg_up * logfac[:-1]          # (kz-1, iy, jx)
+        # phi[k] = phi[k+1] + incs[k] (k from kz-2 down)
+        phi = jnp.concatenate(
+            [jnp.flip(jnp.cumsum(jnp.flip(incs, 0), axis=0), 0)
+             + phi_kz[None], phi_kz[None]], axis=0)
+        # ps-gradient part
+        hpsx2 = 0.5 * (psa + shift(psa, -1, 0))      # avg over y-1,y at x
+        hpsx2m = 0.5 * (shift(psa, 0, -1) + shift(psa, -1, -1))
+        hpsy2 = 0.5 * (psa + shift(psa, 0, -1))
+        hpsy2m = 0.5 * (shift(psa, -1, 0) + shift(psa, -1, -1))
+        rtbar = c.rgas * psdota[None] * 0.25 * (
+            shift(tv, -1, -1) + shift(tv, 0, -1) + shift(tv, -1, 0) + tv)
+        dmsf = 1.0 / (self.dx * self.msfd)
+        udyn = udyn - rtbar * (
+            jnp.log(hpsx2[None] * self.hsig3 + ptop)
+            - jnp.log(hpsx2m[None] * self.hsig3 + ptop)) * dmsf[None] \
+            * self.m_di
+        vdyn = vdyn - rtbar * (
+            jnp.log(hpsy2[None] * self.hsig3 + ptop)
+            - jnp.log(hpsy2m[None] * self.hsig3 + ptop)) * dmsf[None] \
+            * self.m_di
+        # geopotential gradient
+        dmsf2 = 1.0 / (2.0 * self.dx * self.msfd)
+        udyn = udyn - psdota[None] * (
+            phi + shift(phi, -1, 0) - shift(phi, 0, -1)
+            - shift(phi, -1, -1)) * dmsf2[None] * self.m_di
+        vdyn = vdyn - psdota[None] * (
+            phi + shift(phi, 0, -1) - shift(phi, -1, 0)
+            - shift(phi, -1, -1)) * dmsf2[None] * self.m_di
+
+        uten = (udyn + uphy) * self.m_di
+        vten = (vdyn + vphy) * self.m_di
+
+        # -- time filters (mod_timefilter.F90) ---------------------------
+        # ps: RA filter (filter_ra_2d)
+        dps = self.gnu1 * (psc + psb - 2.0 * psa)
+        psb_n = jnp.where(self.m_ci > 0.5, psa + dps, psb)
+        psa_n = jnp.where(self.m_ci > 0.5, psc, psa)
+        # t: RA
+        dtf = self.gnu1 * (tc + s.t_b - 2.0 * s.t_a)
+        t_b_n = jnp.where(self.m_ci > 0.5, s.t_a + dtf, s.t_b)
+        t_a_n = jnp.where(self.m_ci > 0.5, tc, s.t_a)
+        # qv: RAW beta=0.53 with minqq floor (filter_raw_qv)
+        beta = 0.53
+        dq = self.gnu1 * (qvc + s.qx_b[IQV] - 2.0 * s.qx_a[IQV])
+        qv_b_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(s.qx_a[IQV] + beta * dq,
+                                       c.minqq * psa),
+                           s.qx_b[IQV])
+        qv_a_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(qvc + (beta - 1.0) * dq,
+                                       c.minqq * psb),
+                           s.qx_a[IQV])
+        # qc: RAW gnu2 low=0 (filter_raw_4d)
+        dqcf = self.gnu2 * (qcc + s.qx_b[IQC] - 2.0 * s.qx_a[IQC])
+        qc_b_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(s.qx_a[IQC] + beta * dqcf, 0.0),
+                           s.qx_b[IQC])
+        qc_a_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(qcc + (beta - 1.0) * dqcf, 0.0),
+                           s.qx_a[IQC])
+        # u, v forecast + RA filter
+        ucf = s.u_b + dt * uten
+        vcf = s.v_b + dt * vten
+        duf = self.gnu1 * (ucf + s.u_b - 2.0 * s.u_a)
+        dvf = self.gnu1 * (vcf + s.v_b - 2.0 * s.v_a)
+        u_b_n = jnp.where(self.m_di > 0.5, s.u_a + duf, s.u_b)
+        u_a_n = jnp.where(self.m_di > 0.5, ucf, s.u_a)
+        v_b_n = jnp.where(self.m_di > 0.5, s.v_a + dvf, s.v_b)
+        v_a_n = jnp.where(self.m_di > 0.5, vcf, s.v_a)
+
+        psa_n = fix_cross_pad(psa_n)
+        psb_n = fix_cross_pad(psb_n)
+
+        # -- split-explicit correction (mod_split.F90:243-480) -----------
+        (psa_n, psb_n, t_a_n, t_b_n, u_a_n, u_b_n, v_a_n, v_b_n,
+         dstor_n, hstor_n) = self._splitf(
+            psa_n, psb_n, t_a_n, t_b_n, u_a_n, u_b_n, v_a_n, v_b_n,
+            s.dstor, s.hstor)
+        psa_n = fix_cross_pad(psa_n)
+        psb_n = fix_cross_pad(psb_n)
+
+        # -- bdyval: apply boundary ring values (mod_bdycod.F90:1109) ----
+        xt2 = xt + dt
+        # copy a-level edges into b-level, then set a-level edges to bdy
+        ecm = self.e_call > 0.5
+        edm = self.e_dall > 0.5
+        psb_n = jnp.where(ecm, psa_n, psb_n)
+        t_b_n = jnp.where(ecm, t_a_n, t_b_n)
+        qv_b_n = jnp.where(ecm, qv_a_n, qv_b_n)
+        qc_b_n = jnp.where(ecm, qc_a_n, qc_b_n)
+        u_b_n = jnp.where(edm, u_a_n, u_b_n)
+        v_b_n = jnp.where(edm, v_a_n, v_b_n)
+        psa_n = jnp.where(ecm, bdy.ps0 + xt2 * bdy.pst, psa_n)
+        t_a_n = jnp.where(ecm, bdy.t0 + xt2 * bdy.tt, t_a_n)
+        qv_a_n = jnp.where(ecm, bdy.qv0 + xt2 * bdy.qvt, qv_a_n)
+        u_a_n = jnp.where(edm, bdy.u0 + xt2 * bdy.ut, u_a_n)
+        v_a_n = jnp.where(edm, bdy.v0 + xt2 * bdy.vt, v_a_n)
+        psa_n = fix_cross_pad(psa_n)
+        psb_n = fix_cross_pad(psb_n)
+
+        qx_a = jnp.stack([qv_a_n, qc_a_n])
+        qx_b = jnp.stack([qv_b_n, qc_b_n])
+
+        ns = s._replace(
+            ps_a=psa_n, ps_b=psb_n, u_a=u_a_n, u_b=u_b_n,
+            v_a=v_a_n, v_b=v_b_n, t_a=t_a_n, t_b=t_b_n,
+            qx_a=qx_a, qx_b=qx_b, dstor=dstor_n, hstor=hstor_n,
+            heatrt=heatrt, **sfupd)
+        diags = dict(
+            pten=pten_n, omega=omega,
+            tmax=jnp.max(jnp.where(self.m_ci > 0.5, tdec, 0.0)),
+            psmax=jnp.max(jnp.where(self.m_ci > 0.5, psa_n, 0.0)),
+            psmin=jnp.min(jnp.where(self.m_ci > 0.5, psa_n, 1e9)),
+        )
+        return ns, diags
+
+    # ------------------------------------------------------------------
+    def _nudge2d(self, diff):
+        """nudge2d for ps (Main/mod_bdycod.F90:4597): F·Δ − G·∇²Δ using
+        the level-kz coefficient maps."""
+        fmap = self.nfc[-1]
+        gmap = self.ngc[-1]
+        lap = (shift(diff, 0, -1) + shift(diff, 0, 1)
+               + shift(diff, -1, 0) + shift(diff, 1, 0) - 4.0 * diff)
+        return (fmap * diff - gmap * lap) * self.m_ci
+
+    def _nudge3(self, diff, fmap, gmap, dot=False):
+        """nudge3d (Main/mod_bdycod.F90:4218-4406): tendency increment
+        F(n,k)·Δ − G(n,k)·∇²Δ inside the relaxation zone."""
+        lap = (shift(diff, 0, -1) + shift(diff, 0, 1)
+               + shift(diff, -1, 0) + shift(diff, 1, 0) - 4.0 * diff)
+        m = self.m_di if dot else self.m_ci
+        return (fmap * diff - gmap * lap) * m
+
+    def _diffu_cross(self, fdec, xkc):
+        """diffu_x3d idiffu=1 (Main/mod_diffusion.F90:658-790): 4th-order
+        interior, 2nd-order on the first interior ring."""
+        s1 = (shift(fdec, 0, 1) + shift(fdec, 0, -1)
+              + shift(fdec, 1, 0) + shift(fdec, -1, 0))
+        s2 = (shift(fdec, 0, 2) + shift(fdec, 0, -2)
+              + shift(fdec, 2, 0) + shift(fdec, -2, 0))
+        four = -xkc * (s2 - 4.0 * s1 + 12.0 * fdec)
+        two = xkc * (s1 - 4.0 * fdec)
+        ring = self.m_ci * (1.0 - self.m_ci2)
+        return four * self.m_ci2 + two * ring
+
+    def _diffu_dot(self, fdec, xkd):
+        """diffu_d idiffu=1 (Main/mod_diffusion.F90:280-410) applied to a
+        decoupled dot field f/msfd."""
+        fm = fdec / self.msfd
+        s1 = (shift(fm, 0, 1) + shift(fm, 0, -1)
+              + shift(fm, 1, 0) + shift(fm, -1, 0))
+        s2 = (shift(fm, 0, 2) + shift(fm, 0, -2)
+              + shift(fm, 2, 0) + shift(fm, -2, 0))
+        four = -xkd * (s2 - 4.0 * s1 + 12.0 * fm)
+        two = xkd * (s1 - 4.0 * fm)
+        ring = self.m_di * (1.0 - self.m_di2)
+        return four * self.m_di2 + two * ring
+
+    def _negfix(self, q):
+        """Negative-water fix (mod_tendency.F90:383-393): replace negative
+        values by 1% of the 3×3-neighborhood mean absolute value."""
+        acc = jnp.zeros_like(q)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                acc = acc + jnp.abs(shift(q, dy, dx))
+        repl = 0.01 * acc / 9.0
+        return jnp.where((q < 0.0) & (self.m_ci > 0.5), repl, q)
+
+    def _condtq(self, s, tten, qvten, qcten, psc, rpsc, cldfra, dt):
+        """SUBEX saturation adjustment (condtq,
+        Main/mod_micro_interface.F90:382-493)."""
+        t_p1 = (s.t_b + dt * tten) * rpsc[None]
+        qv_p1 = s.qx_b[IQV] + dt * qvten
+        qc_p1 = s.qx_b[IQC] + dt * qcten
+        qv_p1 = jnp.maximum(qv_p1, c.minqq * psc[None]) * rpsc[None]
+        qc_p1 = jnp.where(qc_p1 < c.dlowval * psc[None], 0.0,
+                          qc_p1) * rpsc[None]
+        pres = (self.hsig3 * psc[None] + self.ptop) * 1000.0
+        t_p1 = jnp.maximum(t_p1, 10.0)   # guard against dead cells
+        qvs = pfwsat(t_p1, pres)
+        wwlh = wlh(t_p1)
+        r1 = 1.0 / (1.0 + wwlh * wwlh * qvs / (c.rwat * c.cpd * t_p1 ** 2))
+        rhc = jnp.clip(qv_p1 / qvs, 0.0, 1.0)
+        # rh0adj from cldfrac (mod_micro_interface.F90:368-371)
+        rpsb = 1.0 / s.ps_b
+        qvb3 = jnp.maximum(s.qx_b[IQV] * rpsb[None], c.minqq)
+        pb3 = (self.hsig3 * s.ps_b[None] + self.ptop) * 1000.0
+        tb3 = jnp.maximum(s.t_b * rpsb[None], 10.0)
+        rh = jnp.clip(qvb3 / pfwsat(tb3, pb3), self.rhmin, self.rhmax)
+        rh0adj = 1.0 - (1.0 - rh) / jnp.maximum((1.0 - cldfra) ** 2, 1e-10)
+        rh0adj = jnp.clip(rh0adj, 0.0, 0.99999)
+        # qv in the cloudy fraction forecast (approximate: qs at b + qv ten)
+        qvc_cld = jnp.maximum(
+            pfwsat(tb3, pb3) + dt * qvten * rpsc[None], 0.0)
+        fccc = 1.0 - jnp.sqrt(jnp.clip((1.0 - rhc)
+                                       / jnp.maximum(1.0 - rh0adj, 1e-10),
+                                       0.0, None))
+        fccc = jnp.clip(fccc, 0.0, 1.0)
+        dqv = jnp.where((rhc < rh0adj) | (rhc > 0.99999),
+                        self.conf * (qv_p1 - qvs),
+                        self.conf * fccc * (qvc_cld - qvs))
+        tmp1 = r1 * dqv
+        exces = qc_p1 + tmp1
+        tmp2 = jnp.where(exces >= 0.0, tmp1 / dt, -qc_p1 / dt)
+        active = jnp.abs(tmp2) > c.dlowval
+        tmp2 = jnp.where(active, tmp2, 0.0) * self.m_ci
+        dqv_t = -psc[None] * tmp2
+        dqc_t = psc[None] * tmp2
+        dt_t = psc[None] * tmp2 * wwlh * c.rcpd
+        return dt_t, dqv_t, dqc_t
+
+    # ------------------------------------------------------------------
+    def _mode_geopotential(self, t, ps):
+        """delh per mode (mod_split.F90:341-408): const + slope·(ps-pd)
+        + Σ_k tau(l,k)·T_k/ps."""
+        tsum = jnp.einsum("nk,kyx->nyx", self.sp_tau, t) / ps[None]
+        return (self.sp_hconst[:, None, None]
+                + self.sp_hslope[:, None, None] * (ps - self.sp_pd)[None]
+                + tsum)
+
+    def _grad_dot(self, h):
+        """Cross→dot gradient pair used by spstep (mod_split.F90:500-520):
+        x-grad and y-grad at dot points / (2dx·msfx)."""
+        fac = 1.0 / (2.0 * self.dx * self.msfx)
+        gx = (h + shift(h, -1, 0) - shift(h, 0, -1)
+              - shift(h, -1, -1)) * fac
+        gy = (h + shift(h, 0, -1) - shift(h, -1, 0)
+              - shift(h, -1, -1)) * fac
+        return gx * self.m_di, gy * self.m_di
+
+    def _div_cross(self, uu, vv):
+        """Dot→cross divergence (mod_split.F90:312-320)."""
+        d = ((shift(uu, 0, 1) + shift(uu, 1, 1) - uu - shift(uu, 1, 0))
+             + (shift(vv, 1, 0) + shift(vv, 1, 1) - vv - shift(vv, 0, 1))
+             ) / (2.0 * self.dx * self.msfx ** 2)
+        return d * self.m_c
+
+    def _splitf(self, psa, psb, t_a, t_b, u_a, u_b, v_a, v_b,
+                dstor, hstor):
+        """Split-explicit fast-mode correction (splitf + spstep,
+        Main/mod_split.F90:243-670; Madala 1987). Static-unrolled
+        substeps (aam = [4, 2] for nsplit=2 → 8/4 substeps)."""
+        psdota = cross2dot(psa)
+        d_f = self._mode_divergence(u_a, v_a)     # (nsplit, iy, jx)
+        d_0 = self._mode_divergence(u_b, v_b)
+        h_f = self._mode_geopotential(t_a, psa)
+        h_0 = self._mode_geopotential(t_b, psb)
+        deld1 = dstor - d_0
+        deld3 = d_f - dstor
+        delh1 = hstor - h_0
+        delh3 = h_f - hstor
+        dstor_n = d_0
+        hstor_n = h_0
+
+        edge = self.e_call > 0.5
+        ddsum_l = []
+        dhsum_l = []
+        for ns in range(self.nsplit):
+            aam = self.sp_aam[ns]
+            dtau = self.sp_dtau[ns]
+            m2 = 2 * aam
+            hbar = float(self.sc.hbar[ns])
+            fd = deld3[ns]
+            fh = delh3[ns]
+            d0 = deld1[ns]
+            h0 = delh1[ns]
+            ddsum = d0
+            dhsum = h0
+
+            def lstep(h):
+                gx, gy = self._grad_dot(h)
+                uu = gx * psdota * self.msfd
+                vv = gy * psdota * self.msfd
+                return self._div_cross(uu, vv)
+
+            # first forward substep
+            d1 = d0 - dtau * lstep(h0) + fd / m2
+            h1 = h0 - dtau * hbar * d0 / psa + fh / m2
+            h1 = jnp.where(edge, h0 * (aam - 1.0) / aam, h1)
+            ddsum = ddsum + d1
+            dhsum = dhsum + h1
+            dm1, dcur, hm1, hcur = d0, d1, h0, h1
+            # leapfrog substeps
+            for _ in range(2, m2 + 1):
+                dnew = dm1 - 2.0 * dtau * lstep(hcur) + fd / aam
+                hnew = hm1 - 2.0 * dtau * hbar * dcur / psa + fh / aam
+                hnew = jnp.where(edge, 2.0 * hcur - hm1, hnew)
+                ddsum = ddsum + dnew
+                dhsum = dhsum + hnew
+                dm1, dcur, hm1, hcur = dcur, dnew, hcur, hnew
+            ddsum_l.append(ddsum)
+            dhsum_l.append(dhsum)
+        ddsum = jnp.stack(ddsum_l)
+        dhsum = jnp.stack(dhsum_l)
+
+        # corrections (mod_split.F90:418-476)
+        dps = jnp.einsum("n,nyx->yx", self.sp_an, ddsum)
+        psa = psa - dps * self.m_ci
+        psb = psb - self.gnu1 * dps * self.m_ci
+        dtm = jnp.einsum("kn,nyx->kyx", self.sp_am, ddsum)
+        t_a = t_a + dtm * self.m_ci
+        t_b = t_b + self.gnu1 * dtm * self.m_ci
+        fac = psdota / (2.0 * self.dx * self.msfd)
+        gxs = []
+        gys = []
+        for ns in range(self.nsplit):
+            h = dhsum[ns]
+            gx = (h + shift(h, -1, 0) - shift(h, 0, -1)
+                  - shift(h, -1, -1)) * fac
+            gy = (h + shift(h, 0, -1) - shift(h, -1, 0)
+                  - shift(h, -1, -1)) * fac
+            gxs.append(gx)
+            gys.append(gy)
+        gx = jnp.stack(gxs)
+        gy = jnp.stack(gys)
+        dum = jnp.einsum("kn,nyx->kyx", self.sp_zmatx, gx)
+        dvm = jnp.einsum("kn,nyx->kyx", self.sp_zmatx, gy)
+        u_a = u_a - dum * self.m_di
+        u_b = u_b - self.gnu1 * dum * self.m_di
+        v_a = v_a - dvm * self.m_di
+        v_b = v_b - self.gnu1 * dvm * self.m_di
+        return (psa, psb, t_a, t_b, u_a, u_b, v_a, v_b,
+                dstor_n, hstor_n)
+
+    def _mode_divergence(self, u, v):
+        """Project divergence of coupled winds onto split modes
+        (mod_split.F90:270-300): (nsplit, iy, jx)."""
+        uu = u * self.msfd[None]
+        vv = v * self.msfd[None]
+        ddiv = ((shift(uu, 0, 1) + shift(uu, 1, 1) - uu - shift(uu, 1, 0))
+                + (shift(vv, 1, 0) + shift(vv, 1, 1) - vv
+                   - shift(vv, 0, 1))) / (2.0 * self.dx
+                                          * self.msfx[None] ** 2)
+        ddiv = ddiv * self.m_c
+        return jnp.einsum("nk,kyx->nyx", self.sp_zmatxr, ddiv)
+
+    def init_split_storage(self, s: HydroState):
+        """Initial dstor/hstor from the b-level state (spinit,
+        Main/mod_split.F90:180-240)."""
+        dstor = self._mode_divergence(s.u_b, s.v_b)
+        hstor = self._mode_geopotential(s.t_b, s.ps_b)
+        return s._replace(dstor=dstor, hstor=hstor)

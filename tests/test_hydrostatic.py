@@ -1,0 +1,112 @@
+"""Hydrostatic core tests: rest state, perturbation stability, mass,
+vertical modes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regcm_tpu.config.params import RegCMConfig
+from regcm_tpu.core.grid import build_grid
+from regcm_tpu.driver import Model, standard_atmosphere_state
+from regcm_tpu.dynamics.vmodes import compute_vmodes, make_split_coeffs
+from regcm_tpu.utils.vertical import sigma_levels
+
+TEST001 = "/root/reference/Testing/test_001.in"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = RegCMConfig.from_file(TEST001)
+    # smaller domain for speed; same physics configuration
+    c.dim.iy, c.dim.jx = 24, 32
+    return c
+
+
+@pytest.fixture(scope="module")
+def model(cfg):
+    return Model(cfg)
+
+
+def test_vmodes_structure():
+    sf, _, _ = sigma_levels(18)
+    vm = compute_vmodes(sf, 5.0)
+    kz = 18
+    # equivalent depths real, positive, descending
+    assert vm.hbar.shape == (kz,)
+    assert np.all(vm.hbar > 0)
+    assert np.all(np.diff(vm.hbar) <= 1e-10)
+    # mode matrix invertible and normalized: sum dsigma z^2 = 1
+    np.testing.assert_allclose(vm.zmatx @ vm.zmatxr, np.eye(kz), atol=1e-10)
+    dsig = np.diff(sf)
+    norms = np.einsum("k,kl->l", dsig, vm.zmatx ** 2)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-10)
+    # hydros/hydroc linearization identity (vmodes internal self-test):
+    # hydros·tbarh == -tbarh·log(sigmah·pd+ptop) + hydroc·log(sigma p+pt)
+    w1 = vm.hydros @ vm.tbarh
+    logs = np.log(vm.sigmah * vm.pd + 5.0)
+    w2 = -vm.tbarh * logs[:kz] + vm.hydroc @ logs
+    np.testing.assert_allclose(w1, w2, rtol=1e-9)
+    # fastest mode external: equivalent depth ~ rgas*T scale (1e5-3e5)
+    assert 2.0e4 < vm.hbar[0] < 5.0e5
+
+
+def test_split_coeffs():
+    sf, _, _ = sigma_levels(18)
+    sc = make_split_coeffs(sf, 5.0, 2, 150.0)
+    assert sc.aam[0] == 4 and sc.aam[1] == 2
+    assert sc.dtau[0] == pytest.approx(37.5)
+    assert sc.dtau[1] == pytest.approx(75.0)
+
+
+def test_rest_state_preserved(model):
+    """A resting, horizontally-uniform standard atmosphere is an exact
+    equilibrium: every tendency must vanish identically."""
+    m = model
+    s0 = m.state
+    for _ in range(5):
+        m.step()
+    dec = m.decoupled()
+    assert m.check_finite()
+    assert float(np.abs(dec["u"]).max()) == 0.0
+    assert float(np.abs(dec["v"]).max()) == 0.0
+    ps = dec["ps"][:-1, :-1]
+    assert ps.max() - ps.min() < 1e-10
+    # restore for other tests
+    m.state = s0
+    m.nstep = 0
+    m.xbctime = 0.0
+
+
+def test_perturbation_stable(cfg):
+    """0.5 K white noise: gravity waves must radiate/damp without blowup;
+    the Bleck noise level (|dps/dt|) must shrink (mod_tendency noise
+    parameter print)."""
+    grid = build_grid(cfg)
+    s = standard_atmosphere_state(grid, cfg, perturb=0.5, seed=1)
+    m = Model(cfg, grid=grid, initial_state=s)
+    ptens = []
+    for _ in range(30):
+        d = m.step()
+        ptens.append(float(jnp.mean(jnp.abs(d["pten"]))))
+    assert m.check_finite()
+    dec = m.decoupled()
+    assert np.abs(dec["u"]).max() < 10.0
+    assert 990.0 < dec["ps"][:-1, :-1].min() < 1020.0
+    assert dec["t"].max() < 350.0 and dec["t"][:, :-1, :-1].min() > 150.0
+    # noise decays: late-time mean |ps tendency| below early peak
+    assert np.mean(ptens[-5:]) < np.max(ptens[:5])
+
+
+def test_mass_conservation_interior(cfg):
+    """With fixed boundaries equal to the initial state, total dry mass
+    (∝ Σ ps·/msfx²) drifts only weakly (massck analogue,
+    Main/mod_massck.F90:54)."""
+    grid = build_grid(cfg)
+    s = standard_atmosphere_state(grid, cfg, perturb=0.2, seed=2)
+    m = Model(cfg, grid=grid, initial_state=s)
+    w = grid.m_cross / grid.msfx ** 2
+    mass0 = float(np.sum(np.asarray(m.state.ps_a) * w))
+    for _ in range(20):
+        m.step()
+    mass1 = float(np.sum(np.asarray(m.state.ps_a) * w))
+    assert abs(mass1 - mass0) / mass0 < 1e-4
