@@ -76,6 +76,11 @@ class Model:
                  bdy: Optional[BdyState] = None):
         self.cfg = cfg
         self.grid = grid or build_grid(cfg)
+        if physics is False:        # explicit opt-out (dynamics only)
+            physics = None
+        elif physics is None:
+            from .physics.suite import PhysicsSuite
+            physics = PhysicsSuite(cfg, self.grid)
         self.core = HydroCore(self.grid, cfg, dtype=dtype, physics=physics)
         self.dtype = dtype
         self.dtsec = cfg.dtsec
@@ -98,10 +103,13 @@ class Model:
         leapfrog 2dt: mod_tendency.F90:610-616)."""
         dt = self.dtsec if self.nstep == 0 else 2.0 * self.dtsec
         flags = self._flags()
+        from .utils.sun import coszrs as _coszrs
+        mu = jnp.asarray(_coszrs(self.date, self.grid.xlat,
+                                 self.grid.xlon), self.dtype)
         self.state, diags = self._step_jit(
             self.state, self.bdy,
             jnp.asarray(self.xbctime, self.dtype),
-            jnp.asarray(dt, self.dtype), flags)
+            jnp.asarray(dt, self.dtype), flags, mu)
         self.nstep += 1
         self.xbctime += self.dtsec
         self.date = self.date.add_seconds(self.dtsec)

@@ -136,6 +136,10 @@ class HydroCore:
         # physics hook: physics(core, slice_dict, state, flags) ->
         #   (tphy, qxphy, uphy_d, vphy_d, surface_updates_dict)
         self.physics = physics
+        self.grid_lndocn = f(g.lndocn)
+        # prescribed SST (ocean surface temperature); default: standard
+        # atmosphere surface T (overwritten when real SST data is read)
+        self.sst = jnp.full((g.iy, g.jx), 288.0, dtype)
 
         # SUBEX parameters (subexparam, Main/mod_params.F90)
         sx = cfg.subex
@@ -218,7 +222,7 @@ class HydroCore:
         return (fp[:-1] - fp[1:]) / self.dsig3
 
     def step(self, s: HydroState, bdy: BdyState, xt, dt,
-             flags: StepFlags = StepFlags()
+             flags: StepFlags = StepFlags(), coszrs=None
              ) -> Tuple[HydroState, Dict[str, jax.Array]]:
         """One leapfrog step (tend, Main/mod_tendency.F90:212-560).
 
@@ -310,11 +314,14 @@ class HydroCore:
         za = 0.5 * (zq[:-1] + zq[1:])
         dzq = zq[:-1] - zq[1:]
 
+        if coszrs is None:
+            coszrs = jnp.zeros_like(psb)
         atms = dict(ubd3=ubd3, vbd3=vbd3, ubx3=ubx3, vbx3=vbx3, tb3=tb3,
                     qvb3=qvb3, qcb3=qcb3, tvb3=tvb3, pb3=pb3, pf3=pf3,
                     ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
                     za=za, zq=zq, dzq=dzq, psb=psb, psa=psa,
-                    omega_pa=omega * 1000.0, qdot=qdot, rpsb=rpsb)
+                    omega_pa=omega * 1000.0, qdot=qdot, rpsb=rpsb,
+                    coszrs=coszrs)
 
         # -- new_pressure (mod_tendency.F90:1428-1460) -------------------
         ps_bdy_diff = (bdy.ps0 + (xt + dt) * bdy.pst) - psb

@@ -1,0 +1,131 @@
+"""Physics suite: ordered column-physics orchestration.
+
+Replicates ``physical_parametrizations`` (``Main/mod_tendency.F90:
+1682-1820``): cumulus → cloud fraction + resolved microphysics →
+radiation (dtrad alarm) → surface model (dtsrf alarm) → PBL. Returns
+coupled physics tendencies for the dynamical core plus persistent-state
+updates (Tg, fluxes, heating rates, precip accumulators).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import HydroState, BdyState, StepFlags, IQV, IQC
+from ..utils import constants as c
+from .micro.subex import subex, subex_cldfrac, combine_clouds
+from .pbl.holtslag import holtbl
+from .radiation.simple import radiation, surface_albedo
+from .surface.fluxes import surface_fluxes
+from ..dynamics.stencil import cross2dot
+
+
+class PhysicsSuite:
+    """Callable plugged into HydroCore (core.physics)."""
+
+    def __init__(self, cfg, grid):
+        self.cfg = cfg
+        self.grid = grid
+        self.ricr = 0.25      # ricr_lnd/ocn default (mod_params.F90:485)
+        self.icup = cfg.physics.icup_lnd
+
+    def __call__(self, core, atms, s: HydroState, bdy: BdyState,
+                 flags: StepFlags, dt):
+        kz = core.kz
+        psb = atms["psb"]
+        tb3 = jnp.maximum(atms["tb3"], 150.0)
+        qvb3 = atms["qvb3"]
+        qcb3 = atms["qcb3"]
+        pb3 = atms["pb3"]
+        pf3 = atms["pf3"]
+        rho = atms["rhob3"]
+        rh = atms["rhb3"]
+        za = atms["za"]
+        dzq = atms["dzq"]
+        m_ci = core.m_ci
+
+        tphy = jnp.zeros_like(tb3)
+        qvphy = jnp.zeros_like(tb3)
+        qcphy = jnp.zeros_like(tb3)
+        uphy = jnp.zeros_like(s.u_a)
+        vphy = jnp.zeros_like(s.v_a)
+        sfupd: Dict[str, jax.Array] = {}
+
+        # -- cumulus (placeholder: cloud only; Emanuel/Grell schemes land
+        #    in physics/cumulus) -----------------------------------------
+        cldfra_cum = jnp.zeros_like(tb3)
+        cldlwc_cum = jnp.zeros_like(tb3)
+
+        # -- cloud fraction + SUBEX (mod_tendency.F90:1715-1740) ---------
+        fcc = subex_cldfrac(tb3, pb3, qvb3, qcb3, rh, core.rh0[None])
+        cldlwc, cldfra = combine_clouds(fcc, qcb3, rho, tb3,
+                                        cldfra_cum, cldlwc_cum)
+        if self.cfg.physics.ipptls == 1:
+            out = subex(tb3, pb3, pf3, qvb3, qcb3, rh, rho, fcc, psb, dt,
+                        core.qck1, core.cgul, core.cevap, core.caccr)
+            tphy = tphy + out.tten * m_ci
+            qvphy = qvphy + out.qvten * m_ci
+            qcphy = qcphy + out.qcten * m_ci
+            precip = out.precip * m_ci
+            sfupd["rainnc"] = s.rainnc + precip * core.dtsec
+        else:
+            precip = jnp.zeros_like(psb)
+
+        # -- radiation (dtrad alarm; mod_tendency.F90:1744-1782) ---------
+        heatrt = s.heatrt
+        if flags.do_rad:
+            coszrs = atms["coszrs"]
+            alb = surface_albedo(coszrs, core.grid_lndocn)
+            rad = radiation(tb3, qvb3, pf3, pb3, cldfra, cldlwc,
+                            coszrs, s.tg, alb)
+            heatrt = rad.heatrt * m_ci
+            sfupd["swsfc"] = rad.swabs_sfc
+            sfupd["lwsfc"] = rad.lwnet_sfc
+            swabs = rad.swabs_sfc
+            lwnet = rad.lwnet_sfc
+        else:
+            swabs = s.swsfc
+            lwnet = s.lwsfc
+
+        # -- surface model (dtsrf alarm; :1786-1795) ---------------------
+        hfx, qfx, uvdrag, tg = s.hfx, s.qfx, s.uvdrag, s.tg
+        if flags.do_srf:
+            sst = core.sst
+            sf = surface_fluxes(
+                atms["ubx3"][kz - 1], atms["vbx3"][kz - 1],
+                tb3[kz - 1], qvb3[kz - 1], za[kz - 1],
+                atms["ps2d"] / (c.rgas * tb3[kz - 1]),
+                atms["ps2d"], s.tg, sst, core.grid_lndocn,
+                swabs, lwnet, precip, self.cfg.time.dtsrf)
+            hfx, qfx, uvdrag, tg = sf.hfx, sf.qfx, sf.uvdrag, sf.tg
+            sfupd.update(hfx=hfx, qfx=qfx, uvdrag=uvdrag, tg=tg)
+
+        # -- PBL (:1799-1819) --------------------------------------------
+        if self.cfg.physics.ibltyp == 1:
+            tp3 = tb3 * (atms["ps2d"] / pb3) ** c.rovcp
+            # kmxpbl: highest allowed PBL level (p > 600 hPa, mkslice
+            # Main/mod_slice.F90:342-352)
+            above = pb3 > 60000.0
+            first_above = jnp.argmax(above.astype(jnp.int32), axis=0)
+            any_above = jnp.any(above, axis=0)
+            kmx = jnp.where(any_above,
+                            jnp.maximum(first_above - 1, 0), kz - 2)
+            rhox2d = atms["ps2d"] / (c.rgas * tb3[kz - 1])
+            out = holtbl(
+                tp3, tb3, pb3, pf3, qvb3, qcb3,
+                atms["ubx3"], atms["vbx3"],
+                atms["ubd3"], atms["vbd3"],
+                za, dzq, rhox2d, uvdrag, hfx, qfx, tg,
+                core.coriol, psb, cross2dot(psb),
+                kmx, dt, ricr=self.ricr,
+                cross2dot_fn=cross2dot, m_di=core.m_di, m_ci=core.m_ci)
+            tphy = tphy + out.tten
+            qvphy = qvphy + out.qvten
+            qcphy = qcphy + out.qcten
+            uphy = uphy + out.uten
+            vphy = vphy + out.vten
+
+        cldfra_out = cldfra
+        return (tphy, qvphy, qcphy, uphy, vphy, cldfra_out, heatrt, sfupd)

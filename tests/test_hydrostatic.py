@@ -24,7 +24,8 @@ def cfg():
 
 @pytest.fixture(scope="module")
 def model(cfg):
-    return Model(cfg)
+    # dynamics-only: the exact-rest invariant excludes radiative forcing
+    return Model(cfg, physics=False)
 
 
 def test_vmodes_structure():

@@ -1,0 +1,147 @@
+"""Physics scheme unit tests on synthetic columns."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regcm_tpu.utils import constants as c
+from regcm_tpu.utils.thermo import pfwsat
+from regcm_tpu.physics.micro.subex import subex, subex_cldfrac, \
+    combine_clouds
+from regcm_tpu.physics.radiation.simple import radiation, surface_albedo
+from regcm_tpu.physics.surface.fluxes import surface_fluxes
+from regcm_tpu.physics.pbl.holtslag import holtbl
+
+
+def _column(kz=18, ny=4, nx=4, rh=0.5, t0=288.15):
+    """Standard-atmosphere test columns."""
+    sigma = np.linspace(0.025, 0.995, kz)
+    ps = 101325.0
+    ph = sigma * (ps - 5000.0) + 5000.0
+    pf = np.concatenate([[5000.0], 0.5 * (ph[1:] + ph[:-1]), [ps]])
+    fac = c.rgas * c.lrate * c.regrav
+    t = c.stdt * (ph / ps) ** fac
+    t = np.maximum(t, 216.65)
+    shape3 = (kz, ny, nx)
+    t3 = np.broadcast_to(t[:, None, None], shape3).copy()
+    ph3 = np.broadcast_to(ph[:, None, None], shape3).copy()
+    pf3 = np.broadcast_to(pf[:, None, None], (kz + 1, ny, nx)).copy()
+    qv = rh * np.asarray(pfwsat(jnp.asarray(t3), jnp.asarray(ph3)))
+    rho = ph3 / (c.rgas * t3)
+    return (jnp.asarray(t3), jnp.asarray(ph3), jnp.asarray(pf3),
+            jnp.asarray(qv), jnp.asarray(rho))
+
+
+def test_cldfrac_limits():
+    t, ph, pf, qv, rho = _column(rh=1.005)
+    qc = jnp.full_like(t, 1e-4)
+    rh = jnp.full_like(t, 1.0)
+    rh0 = jnp.full_like(t[0], 0.8)
+    fcc = subex_cldfrac(t, ph, qv, qc, rh, rh0)
+    assert float(fcc.max()) == 1.0
+    # no cloud water → no cloud
+    fcc0 = subex_cldfrac(t, ph, qv, jnp.zeros_like(qc), rh, rh0)
+    assert float(fcc0.max()) == 0.0
+
+
+def test_subex_rains_when_cloudy():
+    t, ph, pf, qv, rho = _column(rh=0.99)
+    qc = jnp.full_like(t, 5e-4)        # 0.5 g/kg cloud water everywhere
+    fcc = jnp.full_like(t, 0.9)
+    rh = jnp.full_like(t, 0.99)
+    psb = jnp.full_like(t[0], 96.325)
+    p2 = jnp.full_like(t[0], 1.0)
+    out = subex(t, ph, pf, qv, qc, rh, rho, fcc, psb, 300.0,
+                qck1=p2 * 0.25e-3, cgul=p2 * 0.4, cevap=p2 * 1e-3,
+                caccr=p2 * 3.0)
+    assert float(out.precip.min()) > 0.0           # it rains
+    assert float(out.qcten.max()) <= 0.0           # cloud water removed
+    # bounded by total cloud water path / dt (pptmax constraint)
+    cwp = float(jnp.sum(qc * (pf[1:] - pf[:-1]) * c.regrav, axis=0)[0, 0])
+    assert float(out.precip.max()) <= cwp / 300.0 + 1e-12
+
+
+def test_subex_no_rain_clear():
+    t, ph, pf, qv, rho = _column(rh=0.3)
+    qc = jnp.zeros_like(t)
+    fcc = jnp.zeros_like(t)
+    rh = jnp.full_like(t, 0.3)
+    psb = jnp.full_like(t[0], 96.325)
+    p2 = jnp.ones_like(t[0])
+    out = subex(t, ph, pf, qv, qc, rh, rho, fcc, psb, 300.0,
+                qck1=p2 * 0.25e-3, cgul=p2 * 0.4, cevap=p2 * 1e-3,
+                caccr=p2 * 3.0)
+    assert float(jnp.abs(out.precip).max()) == 0.0
+
+
+def test_radiation_sanity():
+    t, ph, pf, qv, rho = _column(rh=0.5)
+    cldfra = jnp.zeros_like(t)
+    cldlwc = jnp.zeros_like(t)
+    mu = jnp.full_like(t[0], 0.7)
+    tg = jnp.full_like(t[0], 290.0)
+    alb = jnp.full_like(t[0], 0.15)
+    out = radiation(t, qv, pf, ph, cldfra, cldlwc, mu, tg, alb)
+    # OLR in the right ballpark for a 288K surface with vapour greenhouse
+    assert 150.0 < float(out.olr.mean()) < 320.0
+    assert float(out.swabs_sfc.mean()) > 300.0     # strong sun, low albedo
+    # clear-sky LW cooling of troposphere ~ 1-3 K/day
+    cool = float(out.heatrt[12:].mean()) * 86400.0
+    assert -6.0 < cool < 0.5
+    # cloudy sky: surface SW reduced, OLR reduced
+    cf = cldfra.at[10].set(0.95)
+    lw = cldlwc.at[10].set(0.3)
+    out2 = radiation(t, qv, pf, ph, cf, lw, mu, tg, alb)
+    assert float(out2.swabs_sfc.mean()) < float(out.swabs_sfc.mean())
+    assert float(out2.olr.mean()) < float(out.olr.mean())
+
+
+def test_surface_fluxes_signs():
+    ny = nx = 4
+    f2 = lambda v: jnp.full((ny, nx), v)
+    # warm ground, cool air → upward sensible heat
+    out = surface_fluxes(f2(5.0), f2(0.0), f2(285.0), f2(0.008),
+                         f2(50.0), f2(1.2), f2(101325.0), f2(295.0),
+                         f2(290.0), f2(1.0), f2(400.0), f2(-60.0),
+                         f2(0.0), 600.0)
+    assert float(out.hfx.min()) > 0.0
+    assert float(out.qfx.min()) >= 0.0
+    assert float(out.uvdrag.min()) > 0.0
+    # cold ground → downward (negative) sensible heat
+    out2 = surface_fluxes(f2(5.0), f2(0.0), f2(285.0), f2(0.008),
+                          f2(50.0), f2(1.2), f2(101325.0), f2(275.0),
+                          f2(275.0), f2(1.0), f2(0.0), f2(-60.0),
+                          f2(0.0), 600.0)
+    assert float(out2.hfx.max()) < 0.0
+
+
+def test_holtslag_mixes_unstable_profile():
+    t, ph, pf, qv, rho = _column(rh=0.5)
+    kz, ny, nx = t.shape
+    ps2d = pf[-1]
+    tp = t * (ps2d[None] / ph) ** c.rovcp
+    # heights
+    za = jnp.cumsum((pf[1:] - pf[:-1])[::-1] / (rho[::-1] * c.egrav),
+                    axis=0)[::-1] - 0.5 * (pf[1:] - pf[:-1]) \
+        / (rho * c.egrav)
+    dzq = (pf[1:] - pf[:-1]) / (rho * c.egrav)
+    ux = jnp.full_like(t, 5.0)
+    vx = jnp.zeros_like(t)
+    f2 = lambda v: jnp.full((ny, nx), v)
+    kmx = jnp.full((ny, nx), 5, jnp.int32)
+    out = holtbl(tp, t, ph, pf, qv, jnp.zeros_like(qv), ux, vx, ux, vx,
+                 za, dzq, f2(1.2), f2(0.005), f2(150.0), f2(1e-5),
+                 f2(300.0), f2(1e-4), f2(96.325), f2(96.325),
+                 kmx, 300.0)
+    # strong surface heating → deep PBL, warming of low levels
+    assert float(out.zpbl.min()) > 100.0
+    assert bool(jnp.all(jnp.isfinite(out.tten)))
+    # heat flux warms the column (coupled tendency; near-surface +)
+    assert float(out.tten[-1].mean()) > 0.0
+    # column-integrated budgets close on the surface fluxes
+    dp = pf[1:] - pf[:-1]
+    colq = float(jnp.sum(out.qvten * dp * c.regrav, axis=0)[0, 0]) / 96.325
+    assert colq == pytest.approx(1e-5, rel=1e-6)    # == qfx
+    colt = float(jnp.sum(out.tten * dp * c.regrav * c.cpd,
+                         axis=0)[0, 0]) / 96.325
+    assert colt == pytest.approx(150.0, rel=0.05)   # ≈ hfx (+cg term)
