@@ -45,16 +45,28 @@ def main():
     xt = jnp.asarray(0.0, dtype)
     dt = jnp.asarray(300.0, dtype)
 
-    # warmup/compile
-    s1, _ = step(s, bdy, xt, dt, flags)
+    # scan-chained multi-step kernel: one dispatch per CHUNK steps (the
+    # host loop only handles alarms; pure dynamics steps fuse on-device)
+    chunk = int(os.environ.get("BENCH_CHUNK", "20"))
+
+    @jax.jit
+    def multi(sc):
+        def body(carry, _):
+            ns, _ = step(carry, bdy, xt, dt, flags)
+            return ns, ()
+        out, _ = jax.lax.scan(body, sc, None, length=chunk)
+        return out
+
+    s1 = multi(s)
     jax.block_until_ready(s1.ps_a)
 
-    # steady-state timing: chain steps to amortize dispatch
-    nsteps = int(os.environ.get("BENCH_STEPS", "200"))
+    nsteps = int(os.environ.get("BENCH_STEPS", "400"))
+    nchunks = max(nsteps // chunk, 1)
+    nsteps = nchunks * chunk
     t0 = time.time()
     cur = s
-    for _ in range(nsteps):
-        cur, _ = step(cur, bdy, xt, dt, flags)
+    for _ in range(nchunks):
+        cur = multi(cur)
     jax.block_until_ready(cur.ps_a)
     wall = time.time() - t0
 

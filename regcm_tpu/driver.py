@@ -145,6 +145,48 @@ class Model:
         wall = time.time() - t0
         return diags, wall
 
+    # checkpoint/resume (mod_savefile equivalent; SURVEY §5.4) ----------
+    def save_restart(self, path: str):
+        from .io.restart import write_savefile
+        write_savefile(path, jax.device_get(self.state), self.date,
+                       self.nstep, self.xbctime)
+
+    def load_restart(self, path: str):
+        from .io.restart import read_savefile
+        fields, date, nstep, xbctime = read_savefile(path)
+        self.state = HydroState(**{
+            k: jnp.asarray(v, self.dtype) for k, v in fields.items()})
+        self.date = date
+        self.nstep = nstep
+        self.xbctime = xbctime
+
+    def open_output(self, outdir: Optional[str] = None):
+        from .io.output import OutputStreams
+        outdir = outdir or self.cfg.out.dirout
+        self.streams = OutputStreams(
+            self, outdir, self.cfg.terrain.domname)
+        return self.streams
+
+    def run_with_output(self, nsteps: int):
+        """Run with output alarms (output(), Main/mod_output.F90:73)."""
+        if not hasattr(self, "streams"):
+            self.open_output()
+        o = self.cfg.out
+        atm_every = max(int(o.atmfrq * 3600.0 / self.dtsec), 1)
+        srf_every = max(int(o.srffrq * 3600.0 / self.dtsec), 1)
+        rad_every = max(int(o.radfrq * 3600.0 / self.dtsec), 1)
+        self.streams.write_atm()
+        self.streams.write_srf()
+        self.streams.write_rad()
+        for n in range(nsteps):
+            self.step()
+            if self.nstep % atm_every == 0:
+                self.streams.write_atm()
+            if self.nstep % srf_every == 0:
+                self.streams.write_srf()
+            if self.nstep % rad_every == 0:
+                self.streams.write_rad()
+
     # observability helpers
     def check_finite(self) -> bool:
         leaves = jax.tree_util.tree_leaves(self.state)
