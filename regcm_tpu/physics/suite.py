@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..core.state import HydroState, BdyState, StepFlags, IQV, IQC
 from ..utils import constants as c
 from .micro.subex import subex, subex_cldfrac, combine_clouds
+from .cumulus.emanuel import cupeman, ELCRIT_LND, ELCRIT_OCN, EPMAX
 from .pbl.holtslag import holtbl
 from .radiation.simple import radiation, surface_albedo
 from .surface.fluxes import surface_fluxes
@@ -30,6 +31,11 @@ class PhysicsSuite:
         self.grid = grid
         self.ricr = 0.25      # ricr_lnd/ocn default (mod_params.F90:485)
         self.icup = cfg.physics.icup_lnd
+        # minorig: lowest Emanuel origin level (mod_params.F90:2352-2355)
+        import numpy as _np
+        hs = grid.hsigma
+        kl = [k for k in range(len(hs)) if hs[k] <= 0.950]
+        self.minorig = grid.kz - (max(kl) + 1) if kl else 1
 
     def __call__(self, core, atms, s: HydroState, bdy: BdyState,
                  flags: StepFlags, dt):
@@ -53,10 +59,48 @@ class PhysicsSuite:
         vphy = jnp.zeros_like(s.v_a)
         sfupd: Dict[str, jax.Array] = {}
 
-        # -- cumulus (placeholder: cloud only; Emanuel/Grell schemes land
-        #    in physics/cumulus) -----------------------------------------
+        # -- cumulus (mod_tendency.F90:1686; cu_interface :251-535) ------
         cldfra_cum = jnp.zeros_like(tb3)
         cldlwc_cum = jnp.zeros_like(tb3)
+        if self.icup == 4 and flags.do_cum:
+            iy, jx = tb3.shape[1], tb3.shape[2]
+            ncol = iy * jx
+            flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
+            qmix = qvb3                     # prognostic mixing ratio
+            qspec = qmix / (1.0 + qmix)     # scheme wants spec. humidity
+            qs_spec = atms["qsb3"] / (1.0 + atms["qsb3"])
+            phflip = jnp.flip(pf3, axis=0).reshape(kz + 1, ncol).T
+            out = cupeman(
+                flipc(tb3), flipc(qspec), flipc(qs_spec),
+                flipc(atms["ubx3"]), flipc(atms["vbx3"]),
+                flipc(pb3) * 0.01, phflip * 0.01,
+                s.cbmf.reshape(ncol), dt,
+                jnp.where(core.grid_lndocn.reshape(ncol) > 0.5,
+                          ELCRIT_LND, ELCRIT_OCN),
+                jnp.full((ncol,), EPMAX, tb3.dtype),
+                max(self.minorig - 1, 1))   # 0-based origin level
+            unflip = lambda a: jnp.flip(
+                a.T.reshape(kz, iy, jx), axis=0)
+            cu_tten = unflip(out.ft)
+            qspec2 = flipc(qspec)
+            cu_qten = unflip(out.fq / (1.0 - qspec2) ** 2)
+            cu_utenx = unflip(out.fu)
+            cu_vtenx = unflip(out.fv)
+            # couple (cu_interface :448-470): cross tendencies ×psb,
+            # wind cross→dot ×psdotb
+            tphy = tphy + cu_tten * psb[None] * m_ci
+            qvphy = qvphy + cu_qten * psb[None] * m_ci
+            psd = cross2dot(psb)
+            uphy = uphy + cross2dot(cu_utenx) * psd[None] * core.m_di
+            vphy = vphy + cross2dot(cu_vtenx) * psd[None] * core.m_di
+            prate = out.precip.reshape(iy, jx) * m_ci
+            sfupd["rainc"] = s.rainc + prate * core.dtsec
+            sfupd["cbmf"] = out.cbmf.reshape(iy, jx) * m_ci
+            cldfra_cum = unflip(out.cldfra)
+            # convective in-cloud LWC (cucloud; cllwcv=0.3e-3 kg/kg,
+            # subexparam) in g/m3
+            cldlwc_cum = jnp.where(cldfra_cum > 0.0,
+                                   0.3e-3 * 1000.0 * rho, 0.0)
 
         # -- cloud fraction + SUBEX (mod_tendency.F90:1715-1740) ---------
         fcc = subex_cldfrac(tb3, pb3, qvb3, qcb3, rh, core.rh0[None])

@@ -145,3 +145,47 @@ def test_holtslag_mixes_unstable_profile():
     colt = float(jnp.sum(out.tten * dp * c.regrav * c.cpd,
                          axis=0)[0, 0]) / 96.325
     assert colt == pytest.approx(150.0, rel=0.05)   # ≈ hfx (+cg term)
+
+
+def test_emanuel_convection():
+    """Emanuel scheme: unstable moist column convects and conserves
+    column enthalpy; dry column stays inactive
+    (cupeman, Main/cumlib/mod_cu_em.F90:406)."""
+    from regcm_tpu.physics.cumulus.emanuel import cupeman
+    kz = 18
+    sig = np.linspace(0.995, 0.025, kz)
+    ps = 1013.0
+    ph = np.concatenate([[ps], 0.5 * (sig[1:] + sig[:-1]) * (ps - 50)
+                         + 50, [50.0]])
+    p = sig * (ps - 50) + 50
+    t = np.maximum(302.0 * (p / ps) ** 0.23, 200.0)
+    ncol = 2
+    t2 = np.tile(t, (ncol, 1))
+    qs = np.asarray(pfwsat(jnp.asarray(t2), jnp.asarray(p[None] * 100)))
+    q = qs.copy()
+    q[0] = qs[0] * np.concatenate([[0.9] * 4, [0.7] * 6, [0.3] * 8])
+    q[1] = qs[1] * 0.20
+    q = q / (1 + q)
+    qs_s = qs / (1 + qs)
+    zero = np.zeros((ncol, kz))
+    cbmf = jnp.zeros(ncol)
+    for _ in range(8):      # let the quasi-equilibrium closure spin up
+        out = cupeman(jnp.asarray(t2), jnp.asarray(q), jnp.asarray(qs_s),
+                      jnp.asarray(zero), jnp.asarray(zero),
+                      jnp.asarray(np.tile(p, (ncol, 1))),
+                      jnp.asarray(np.tile(ph, (ncol, 1))), cbmf, 300.0,
+                      jnp.full(ncol, 1.1e-3), jnp.full(ncol, 0.999), 2)
+        cbmf = out.cbmf
+    assert bool(out.active[0]) and not bool(out.active[1])
+    assert float(out.precip[0]) * 86400.0 > 1.0      # it rains (mm/day)
+    assert float(out.precip[1]) == 0.0
+    # warming aloft in the cloud layer
+    assert float(out.ft[0, 8:14].mean()) > 0.0
+    # exact column enthalpy conservation (cupeman :1127-1140)
+    dphl = ph[:-1] - ph[1:]
+    cpn = c.cpd * (1 - q[0]) + c.cpv * q[0]
+    lv = c.wlhv - (2500.0 - c.cpv) * (t2[0] - c.tzero)
+    ent = np.sum((cpn * np.asarray(out.ft[0])
+                  + lv * np.asarray(out.fq[0])) * dphl)
+    assert abs(ent) < 1e-6
+    assert bool(jnp.all(jnp.isfinite(out.ft)))
