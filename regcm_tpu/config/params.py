@@ -209,7 +209,7 @@ class MolochParam:
     """&molochparam (Share/mod_dynparam.F90:455) + substep counts
     (Main/mpplib/mod_runparams.F90:175-176)."""
     mo_a0: float = 0.0
-    mo_b0: float = 0.0
+    mo_b0: float = 0.5   # Share/mod_dynparam.F90:190
     mo_nadv: int = 1
     mo_nsound: int = 6
     mo_ztop: float = 30000.0

@@ -1,0 +1,99 @@
+"""MOLOCH non-hydrostatic core tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regcm_tpu.config.params import RegCMConfig
+from regcm_tpu.core.grid import build_grid
+from regcm_tpu.dynamics.moloch import MolochCore, HZITA
+
+
+def _core(iy=20, jx=24, kz=23, ds=3.0, dt=20.0):
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_001.in")
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = iy, jx, kz
+    cfg.geo.ds = ds
+    cfg.time.dt = dt
+    cfg.core.idynamic = 3
+    grid = build_grid(cfg)
+    return MolochCore(grid, cfg)
+
+
+def _bdy(st):
+    z = jnp.zeros_like
+    return dict(pai0=st.pai, pait=z(st.pai), t0=st.t, tt=z(st.t),
+                qv0=st.qx[0], qvt=z(st.t), u0=st.u, ut=z(st.u),
+                v0=st.v, vt=z(st.v))
+
+
+def test_zita_metrics():
+    core = _core()
+    # fmzf positive (0 at top), monotone-ish stretching; zeta decreasing
+    # with k (index 0 = top)
+    f = np.asarray(core.fmzf)
+    assert f[0].max() == 0.0
+    assert np.all(f[1:] > 0.0)
+    z = np.asarray(core.zeta)
+    assert np.all(np.diff(z[:, 5, 5]) < 0.0)
+    assert z[-1, 5, 5] < 200.0          # lowest level near ground
+    assert core.dz == pytest.approx(HZITA / core.kz)
+
+
+def test_moloch_rest_state():
+    """Resting balanced atmosphere: w residual stays small, ps steady
+    (the analogue of the hydrostatic rest test for the NH core)."""
+    core = _core()
+    st = core.initial_state()
+    bdy = _bdy(st)
+    step = jax.jit(core.step)
+    s = st
+    for _ in range(30):
+        s, d = step(s, bdy, 0.0)
+    assert bool(jnp.all(jnp.isfinite(s.pai)))
+    assert float(jnp.abs(s.w).max()) < 1.0
+    assert float(jnp.abs(s.u).max()) < 0.1
+    p_sfc = float(d["pmax"])
+    assert 9.9e4 < p_sfc < 1.02e5
+
+
+def test_waf_monotone_conservative():
+    """WAF advection: square wave advects without new extrema and
+    conserves mass (wafone, Main/mod_moloch.F90:1098)."""
+    core = _core(iy=10, jx=60, kz=14, ds=1.0, dt=10.0)
+    kz, iy, jx = core.kz, core.iy, core.jx
+    u = jnp.full((kz, iy, jx), 10.0)
+    v = jnp.zeros((kz, iy, jx))
+    s = jnp.zeros((kz + 1, iy, jx))
+    pp = jnp.zeros((kz, iy, jx)).at[:, :, 20:30].set(1.0)
+    p1 = pp
+    for _ in range(20):
+        p1 = core._wafone(p1, u, v, s, 10.0)
+    assert float(p1.max()) <= 1.0 + 1e-12
+    assert float(p1.min()) >= -1e-12
+    np.testing.assert_allclose(float(p1[7, 5, 1:-2].sum()),
+                               float(pp[7, 5, 1:-2].sum()), rtol=1e-8)
+    # the wave moved ~2 cells downstream
+    c0 = float(jnp.argmax(jnp.cumsum(pp[7, 5]) >= 5.0))
+    c1 = float(jnp.argmax(jnp.cumsum(p1[7, 5]) >= 5.0))
+    assert 1.0 <= c1 - c0 <= 3.0
+
+
+def test_warm_bubble_rises():
+    """3 K bubble develops an ascending updraft (classic NH thermal)."""
+    core = _core(iy=24, jx=30, kz=30, ds=1.0, dt=8.0)
+    st = core.initial_state(bubble=(3.0, 12, 15, 3000.0, 1500.0))
+    bdy = _bdy(st)
+    step = jax.jit(core.step)
+    s = st
+    zpeak = []
+    for n in range(60):
+        s, d = step(s, bdy, 0.0)
+        if (n + 1) % 20 == 0:
+            w = np.asarray(s.w)
+            kmax = np.unravel_index(np.argmax(w), w.shape)[0]
+            zpeak.append(float(np.asarray(core.zetaf)[kmax, 12, 15]))
+    assert bool(jnp.all(jnp.isfinite(s.w)))
+    wmax = float(jnp.max(s.w))
+    assert 0.3 < wmax < 30.0
+    # updraft maximum ascends
+    assert zpeak[-1] > zpeak[0]
