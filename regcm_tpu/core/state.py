@@ -44,6 +44,13 @@ class HydroState(NamedTuple):
     t_b: jax.Array
     qx_a: jax.Array      # p*·q (cb kg/kg), (nqx, kz, iy, jx), cross
     qx_b: jax.Array
+    # MM5 non-hydrostatic prognostics (idynamic=2; zero-size unused for
+    # the hydrostatic core): p*·pp (pressure perturbation, cb·Pa) and
+    # p*·w (cb·m/s) on kz+1 interfaces
+    pp_a: jax.Array
+    pp_b: jax.Array
+    w_a: jax.Array
+    w_b: jax.Array
     # split-explicit mode storage (mod_split dstor/hstor), (nsplit, iy, jx)
     dstor: jax.Array
     hstor: jax.Array
@@ -85,9 +92,11 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
     z3 = jnp.zeros((kz, iy, jx), dtype)
     z4 = jnp.zeros((nqx, kz, iy, jx), dtype)
     zs = jnp.zeros((nsplit, iy, jx), dtype)
+    zw = jnp.zeros((kz + 1, iy, jx), dtype)
     return HydroState(
         ps_a=z2, ps_b=z2, u_a=z3, u_b=z3, v_a=z3, v_b=z3,
-        t_a=z3, t_b=z3, qx_a=z4, qx_b=z4, dstor=zs, hstor=zs,
+        t_a=z3, t_b=z3, qx_a=z4, qx_b=z4,
+        pp_a=z3, pp_b=z3, w_a=zw, w_b=zw, dstor=zs, hstor=zs,
         tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
         uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2)
 

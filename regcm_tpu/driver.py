@@ -67,6 +67,32 @@ def standard_atmosphere_state(grid: ModelGrid, cfg: RegCMConfig,
     return s
 
 
+def nh_initial_state(core, perturb: float = 0.0, seed: int = 0
+                     ) -> HydroState:
+    """Cold start for the MM5 NH core (idynamic=2): T = reference
+    atmosphere t0, pp = w = 0 (the nhinterp base-state contract —
+    a perfect rest state of the NH equations)."""
+    base = core.base
+    g = core.grid
+    iy, jx, kz = g.iy, g.jx, g.kz
+    s = zeros_hydro(kz, iy, jx, dtype=core.dtype)
+    ps = base.ps0
+    t0 = np.asarray(base.t0)
+    if perturb > 0.0:
+        rng = np.random.default_rng(seed)
+        t0 = t0 + perturb * rng.standard_normal(t0.shape) \
+            * np.asarray(g.m_cross_int)[None]
+    from .utils.thermo import pfwsat as _pfwsat
+    qv = np.minimum(0.3 * np.asarray(_pfwsat(jnp.asarray(t0), base.pr0)),
+                    0.01)
+    tj = jnp.asarray(t0, core.dtype) * ps[None]
+    qvj = jnp.asarray(qv, core.dtype) * ps[None]
+    qx = jnp.stack([qvj, jnp.zeros_like(qvj)])
+    return s._replace(ps_a=ps, ps_b=ps, t_a=tj, t_b=tj,
+                      qx_a=qx, qx_b=qx,
+                      tg=jnp.asarray(t0[-1], core.dtype))
+
+
 class Model:
     """Top-level model object (RCM_initialize/run/finalize equivalent)."""
 
@@ -85,8 +111,15 @@ class Model:
         self.dtype = dtype
         self.dtsec = cfg.dtsec
         if initial_state is None:
-            initial_state = standard_atmosphere_state(self.grid, cfg, dtype)
-        self.state = self.core.init_split_storage(initial_state)
+            if cfg.core.idynamic == 2:
+                initial_state = nh_initial_state(self.core)
+            else:
+                initial_state = standard_atmosphere_state(
+                    self.grid, cfg, dtype)
+        if cfg.core.idynamic == 2:
+            self.state = initial_state
+        else:
+            self.state = self.core.init_split_storage(initial_state)
         if bdy is None:
             from .core.state import bdy_from_state
             bdy = bdy_from_state(self.state)
@@ -96,7 +129,9 @@ class Model:
         self.date = self.start_date
         self.xbctime = 0.0
         self.nstep = 0
-        self._step_jit = jax.jit(self.core.step, static_argnames=("flags",))
+        stepfn = self.core.step_nh if cfg.core.idynamic == 2 \
+            else self.core.step
+        self._step_jit = jax.jit(stepfn, static_argnames=("flags",))
 
     def step(self):
         """Advance one timestep (first step forward-Euler dt, then

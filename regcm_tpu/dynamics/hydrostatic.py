@@ -159,6 +159,12 @@ class HydroCore:
         # temperature advection form (mod_tendency ithadv; 0 = plain T
         # flux advection + omega heating, 1 = theta advection)
         self.ithadv = int(cfg.dyn.extras.get("ithadv", 0))
+        self.idynamic = cfg.core.idynamic
+        if self.idynamic == 2:
+            from .sound import make_base_state
+            self.base = make_base_state(
+                grid, self.ptop,
+                logp_lrate=cfg.nonhydro.logp_lrate, dtype=dtype)
 
     # ------------------------------------------------------------------
     # phase implementations (all pure; arrays (kz, iy, jx) or (iy, jx))
@@ -605,6 +611,356 @@ class HydroCore:
             tmax=jnp.max(jnp.where(self.m_ci > 0.5, tdec, 0.0)),
             psmax=jnp.max(jnp.where(self.m_ci > 0.5, psa_n, 0.0)),
             psmin=jnp.min(jnp.where(self.m_ci > 0.5, psa_n, 1e9)),
+        )
+        return ns, diags
+
+    # ------------------------------------------------------------------
+    def step_nh(self, s: HydroState, bdy: BdyState, xt, dt,
+                flags: StepFlags = StepFlags(), coszrs=None
+                ) -> Tuple[HydroState, Dict[str, jax.Array]]:
+        """MM5 non-hydrostatic step (idynamic=2): the tend NH branches
+        (mod_tendency.F90 decouple/compute_omega/adiabatic idynamic==2
+        paths) + the semi-implicit acoustic solver (Main/mod_sound.F90).
+
+        p* is the constant reference ps0−ptop; pp and w are prognostic.
+        """
+        from .sound import sound as nh_sound
+        base = self.base
+        g = self.grid
+        kz, iy, jx = self.kz, g.iy, g.jx
+        ptop = self.ptop
+
+        psa = s.ps_a          # constant = base.ps0
+        psb = s.ps_b
+        rpsa = 1.0 / psa
+        rpsb = 1.0 / psb
+        psdota = cross2dot(psa)
+        rpsda = 1.0 / psdota
+
+        # decouple (mod_tendency decouple, NH parts :1040-1075)
+        uc, vc = s.u_a, s.v_a
+        umc = uc * self.msfd
+        vmc = vc * self.msfd
+        ud = uc * rpsda
+        vd = vc * rpsda
+        ub_bdy = (bdy.u0 + xt * bdy.ut) * rpsda
+        vb_bdy = (bdy.v0 + xt * bdy.vt) * rpsda
+        ud = jnp.where(self.e_d2 > 0.5, ub_bdy, ud)
+        vd = jnp.where(self.e_d2 > 0.5, vb_bdy, vd)
+        umd = ud * self.msfd
+        vmd = vd * self.msfd
+        tdec = s.t_a * rpsa
+        qvdec = jnp.maximum(s.qx_a[IQV] * rpsa, c.minqq)
+        qcdec = jnp.maximum(s.qx_a[IQC] * rpsa, 0.0)
+        tv = tdec * (1.0 + c.ep1 * qvdec)
+        ppdec = s.pp_a * rpsa[None]
+        wdec = s.w_a * rpsa[None]
+        pr1 = base.pr0 + ppdec
+        rho1 = pr1 / (c.rgas * jnp.maximum(tv, 100.0))
+        # buoyancy factor (atmx%pr, mod_tendency.F90:1068-1071)
+        bfac = (tv - base.t0 - ppdec / (c.cpd * base.rho0)) \
+            / jnp.maximum(tdec, 100.0)
+
+        # compute_omega NH (:1157-1195)
+        ucc4 = umd + shift(umd, 0, 1) + shift(umd, 1, 0) + shift(umd, 1, 1)
+        vcc4 = vmd + shift(vmd, 0, 1) + shift(vmd, 1, 0) + shift(vmd, 1, 1)
+        qdot_i = (-base.rhof0[1:kz] * c.egrav * wdec[1:kz]
+                  / (base.psfull[None] - ptop * 1000.0)
+                  - self.sig3[1:kz] * (
+                      base.dpsdxm[None] * (self.twt1[1:] * ucc4[1:]
+                                           + self.twt2[1:] * ucc4[:-1])
+                      + base.dpsdym[None] * (self.twt1[1:] * vcc4[1:]
+                                             + self.twt2[1:] * vcc4[:-1])))
+        qdot = jnp.concatenate(
+            [jnp.zeros((1, iy, jx), self.dtype), qdot_i,
+             jnp.zeros((1, iy, jx), self.dtype)], axis=0)
+        rmsfx2 = 1.0 / (2.0 * self.dx * self.msfx ** 2)
+        divh = ((shift(umc, 1, 1) + shift(umc, 0, 1)
+                 - shift(umc, 1, 0) - umc)
+                + (shift(vmc, 1, 1) + shift(vmc, 1, 0)
+                   - shift(vmc, 0, 1) - vmc)) * rmsfx2
+        div = (divh + (qdot[1:] - qdot[:kz]) * psa[None] / self.dsig3) \
+            * self.m_c
+        omega = -0.5 * c.egrav * base.rho0 * rpsb[None] \
+            * (s.w_b[:kz] + s.w_b[1:]) * rpsb[None]
+
+        # mkslice equivalents for physics (time b)
+        psdotb = cross2dot(psb)
+        ubd3 = s.u_b / psdotb
+        vbd3 = s.v_b / psdotb
+        ubx3 = dot2cross(ubd3)
+        vbx3 = dot2cross(vbd3)
+        tb3 = s.t_b * rpsb
+        qvb3 = jnp.maximum(s.qx_b[IQV] * rpsb, c.minqq)
+        qcb3 = jnp.maximum(s.qx_b[IQC] * rpsb, 0.0)
+        ppb3 = s.pp_b * rpsb[None]
+        pb3 = base.pr0 + ppb3
+        pf3 = jnp.concatenate(
+            [base.pf0[:1], base.pf0[1:kz]
+             + 0.5 * (ppb3[:-1] + ppb3[1:]),
+             (base.psfull + ppb3[kz - 1:kz])], axis=0)
+        ps2d = base.psfull + ppb3[kz - 1]
+        tvb3 = tb3 * (1.0 + c.ep1 * qvb3 - qcb3)
+        rhob3 = pb3 / (c.rgas * jnp.maximum(tb3, 100.0))
+        qsb3 = pfwsat(jnp.maximum(tb3, 100.0), pb3)
+        rhb3 = jnp.clip(qvb3 / qsb3, self.rhmin, self.rhmax)
+        dzq = (pf3[1:] - pf3[:-1]) / (rhob3 * c.egrav)
+        zq = jnp.concatenate(
+            [jnp.flip(jnp.cumsum(jnp.flip(dzq, 0), axis=0), 0),
+             jnp.zeros((1, iy, jx), self.dtype)], axis=0)
+        za = 0.5 * (zq[:-1] + zq[1:])
+        if coszrs is None:
+            coszrs = jnp.zeros_like(psb)
+        atms = dict(ubd3=ubd3, vbd3=vbd3, ubx3=ubx3, vbx3=vbx3, tb3=tb3,
+                    qvb3=qvb3, qcb3=qcb3, tvb3=tvb3, pb3=pb3, pf3=pf3,
+                    ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
+                    za=za, zq=zq, dzq=dzq, psb=psb, psa=psa,
+                    omega_pa=omega, qdot=qdot, rpsb=rpsb, coszrs=coszrs)
+
+        # diffusion coefficients (NH variant, mod_diffusion idyn/=1)
+        dudx = (shift(ubd3, 1, 1) + shift(ubd3, 0, 1) - shift(ubd3, 1, 0)
+                - ubd3)
+        dvdx = (shift(vbd3, 1, 1) + shift(vbd3, 0, 1) - shift(vbd3, 1, 0)
+                - vbd3)
+        dudy = (shift(ubd3, 1, 0) + shift(ubd3, 1, 1) - ubd3
+                - shift(ubd3, 0, 1))
+        dvdy = (shift(vbd3, 1, 0) + shift(vbd3, 1, 1) - vbd3
+                - shift(vbd3, 0, 1))
+        wb3dec = s.w_b * rpsb[None]
+        dwdz = wb3dec[:kz] - wb3dec[1:]
+        duv = jnp.sqrt(jnp.maximum(
+            (dudx - dvdy) ** 2 + (dvdx + dudy) ** 2 - dwdz ** 2, 0.0))
+        xkc_raw = jnp.minimum(self.hgfact[None] + self.dydc * duv,
+                              2.0 * self.xkhmax) * self.m_c
+        xkc_raw = fix_cross_pad(xkc_raw)
+        xkd = 0.25 * (xkc_raw + shifte(xkc_raw, -1, -1)
+                      + shifte(xkc_raw, 0, -1) + shifte(xkc_raw, -1, 0))
+        rdxsq = 1.0 / (self.dx * self.dx)
+        xkc = xkc_raw * rdxsq * psb[None]
+        xkcf = jnp.concatenate([xkc[:1], xkc], axis=0)
+        xkd = xkd * rdxsq * psdotb[None]
+
+        # advection ------------------------------------------------------
+        uavg1 = shift(umc, 1, 0) + umc
+        uavg2 = shift(umc, 1, 1) + shift(umc, 0, 1)
+        vavg1 = shift(vmc, 0, 1) + vmc
+        vavg2 = shift(vmc, 1, 1) + shift(vmc, 1, 0)
+        udyn, vdyn = self._advection_uv(umc, vmc, ud, vd, uc, vc, qdot)
+        # T advection (ithadv=0 NH: exner-weighted interfaces on p0)
+        tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2)
+        ta = s.t_a
+        rdphf = base.pr0 ** (-c.c287)
+        rdplf = base.pf0[1:kz] ** c.c287
+        dq_t = ta * rdphf
+        fT = rdplf * qdot[1:kz] * (self.twt1[1:] * dq_t[1:]
+                                   + self.twt2[1:] * dq_t[:-1])
+        tdyn0 = tdyn0 + self._vadv_flux(fT, qdot)
+        # qv / qc (same forms as hydrostatic)
+        qvten = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
+        qva = s.qx_a[IQV]
+        ok = ((qva[1:] > c.minqq * psa[None])
+              & (qva[:-1] > c.minqq * psa[None]))
+        fgq = jnp.where(ok, qva[1:] * (qva[:-1]
+                                       / jnp.maximum(qva[1:], 1e-30))
+                        ** self.qcon[1:], 0.0)
+        qvten = qvten + self._vadv_flux(qdot[1:kz] * fgq, qdot)
+        qcten = self._hadv_scalar(qcdec, uavg1, uavg2, vavg1, vavg2)
+        qca = s.qx_a[IQC]
+        fi = self.twt1[1:] * qca[1:] + self.twt2[1:] * qca[:-1]
+        thr = c.minqq * c.minqq * psa[None]
+        fqc = jnp.where(qdot[1:kz] > 0.0,
+                        jnp.where(qca[:-1] > thr, qdot[1:kz] * fi, 0.0),
+                        jnp.where(qca[1:] > thr, qdot[1:kz] * fi, 0.0))
+        qcten = qcten + self._vadv_flux(fqc, qdot)
+        # pp advection (hadv ind=0 on decoupled + vadv ind=0 on coupled)
+        ppdyn = self._hadv_scalar(ppdec, uavg1, uavg2, vavg1, vavg2)
+        fpp = qdot[1:kz] * (self.twt1[1:] * s.pp_a[1:]
+                            + self.twt2[1:] * s.pp_a[:-1])
+        ppdyn = ppdyn + self._vadv_flux(fpp, qdot)
+        # w advection (hadv ind=1: winds interpolated to interfaces;
+        # vadv nk=kzp1 ind=0 half-level fluxes)
+        wdyn = jnp.zeros_like(s.w_a)
+        wdec_a = s.w_a * rpsa[None]
+        ua1_i = self.twt1[1:] * uavg1[1:] + self.twt2[1:] * uavg1[:-1]
+        ua2_i = self.twt1[1:] * uavg2[1:] + self.twt2[1:] * uavg2[:-1]
+        va1_i = self.twt1[1:] * vavg1[1:] + self.twt2[1:] * vavg1[:-1]
+        va2_i = self.twt1[1:] * vavg2[1:] + self.twt2[1:] * vavg2[:-1]
+        wd_i = wdec_a[1:kz]
+        fx1 = shift(wd_i, 0, -1) + wd_i
+        fx2 = wd_i + shift(wd_i, 0, 1)
+        fy1 = shift(wd_i, -1, 0) + wd_i
+        fy2 = wd_i + shift(wd_i, 1, 0)
+        wh = -self.xmapf[None] * (ua2_i * fx2 - ua1_i * fx1
+                                  + va2_i * fy2 - va1_i * fy1) * self.m_ci
+        wdyn = wdyn.at[1:kz].add(wh)
+        # vertical flux of w at half levels (vadv3d ind=0 nk=kzp1,
+        # Main/mod_advection.F90:754-766): interior interfaces K=1..kz-1
+        # get (fx0[K-1] − fx0[K])·dds0[K]
+        fx0 = 0.5 * (qdot[:kz] + qdot[1:]) * (s.w_a[:kz] + s.w_a[1:])
+        dds_i = 1.0 / (self.dsig3[1:] + self.dsig3[:-1])   # K=1..kz-1
+        wdyn = wdyn.at[1:kz].add((fx0[:-1] - fx0[1:]) * dds_i)
+
+        # coriolis (NH curvature :1838-1876, simplified to H-Coriolis)
+        udyn = udyn + self.coriol[None] * vc * self.m_di
+        vdyn = vdyn - self.coriol[None] * uc * self.m_di
+
+        # adiabatic NH (:1568-1680)
+        thetadd = jnp.zeros_like(tdyn0)
+        cpm = cpmf(qvdec)
+        scr1 = 0.5 * c.egrav * base.rho0 * (s.w_a[:kz] + s.w_a[1:]) \
+            * rpsa[None]
+        tdyn = tdyn0 + (tdec * div
+                        - (scr1 * psa[None] + ppdyn
+                           + ppdec * div) / (rho1 * cpm)) * self.m_ci
+        ppdyn = ppdyn + ppdec * div * self.m_ci
+        qvten = qvten + qvdec * div * self.m_ci
+        qcten = qcten + qcdec * div * self.m_ci
+        # w buoyancy terms (:1620-1660)
+        rofac_i = (self.dsig3[:-1] * base.rho0[1:]
+                   + self.dsig3[1:] * base.rho0[:-1]) \
+            / (self.dsig3[:-1] * rho1[1:] + self.dsig3[1:] * rho1[:-1])
+        ucc4c = uc + shift(uc, 0, 1) + shift(uc, 1, 0) + shift(uc, 1, 1)
+        vcc4c = vc + shift(vc, 0, 1) + shift(vc, 1, 0) + shift(vc, 1, 1)
+        uaq = 0.25 * (self.twt1[1:] * ucc4c[1:] + self.twt2[1:] * ucc4c[:-1])
+        vaq = 0.25 * (self.twt1[1:] * vcc4c[1:] + self.twt2[1:] * vcc4c[:-1])
+        wbuoy = ((self.twt2[1:] * bfac[:-1] + self.twt1[1:] * bfac[1:])
+                 * rofac_i * c.egrav * psa[None]
+                 + (uaq ** 2 + vaq ** 2) * c.rearthrad * rpsa[None]
+                 + wdec[1:kz] * (self.twt1[1:] * div[1:]
+                                 + self.twt2[1:] * div[:-1]))
+        # water loading
+        wbuoy = wbuoy - c.egrav * psa[None] * (
+            self.twt2[1:] * qcdec[:-1] + self.twt1[1:] * qcdec[1:])
+        wdyn = wdyn.at[1:kz].add(wbuoy * self.m_ci)
+
+        # boundary nudging (tdyn/qv/u/v like hydro, + pp, w)
+        xtd = xt + dt
+        tdyn = tdyn + self._nudge3(
+            (bdy.t0 + xtd * bdy.tt) - s.t_b, self.nfc, self.ngc)
+        qvten = qvten + self._nudge3(
+            (bdy.qv0 + xtd * bdy.qvt) - s.qx_b[IQV], self.nfc, self.ngc)
+        udyn = udyn + self._nudge3(
+            (bdy.u0 + xtd * bdy.ut) - s.u_b, self.nfd, self.ngd, dot=True)
+        vdyn = vdyn + self._nudge3(
+            (bdy.v0 + xtd * bdy.vt) - s.v_b, self.nfd, self.ngd, dot=True)
+        ppdyn = ppdyn + self._nudge3(-s.pp_b, self.nfc, self.ngc)
+        wnud = self._nudge3(-s.w_b[1:kz], self.nfc[:kz - 1], self.ngc[:kz - 1])
+        wdyn = wdyn.at[1:kz].add(wnud)
+
+        # physics --------------------------------------------------------
+        tphy = jnp.zeros_like(tdyn)
+        qvphy = jnp.zeros_like(qvten)
+        qcphy = jnp.zeros_like(qcten)
+        uphy = jnp.zeros_like(udyn)
+        vphy = jnp.zeros_like(vdyn)
+        sfupd: Dict[str, jax.Array] = {}
+        cldfra = jnp.zeros_like(tdyn)
+        heatrt = s.heatrt
+        if self.physics is not None:
+            (tphy, qvphy, qcphy, uphy, vphy, cldfra,
+             heatrt, sfupd) = self.physics(self, atms, s, bdy, flags, dt)
+        tphy = tphy + psb[None] * heatrt * self.m_ci
+        # pp heating tendency (xgamma·p0·Q/(cp·T0), mod_rad NH coupling)
+        ppphy = (1.0 / (1.0 - c.rovcp)) * base.pr0 * heatrt \
+            / jnp.maximum(base.t0, 100.0) * psb[None] * c.rcpd
+
+        # diffusion ------------------------------------------------------
+        udyn = udyn + self._diffu_dot(ubd3, xkd)
+        vdyn = vdyn + self._diffu_dot(vbd3, xkd)
+        tdyn = tdyn + self._diffu_cross(tb3, xkc)
+        qvten = qvten + self._diffu_cross(qvb3, xkc)
+        qcten = qcten + self._diffu_cross(qcb3, xkc)
+        ppdyn = ppdyn + self._diffu_cross(ppb3, xkc)
+        wdiff = self._diffu_cross(wb3dec, xkcf)
+        wdyn = wdyn + wdiff
+
+        tten = tdyn + tphy
+        qvten_t = qvten + qvphy
+        qcten_t = qcten + qcphy
+        ppten_t = ppdyn + ppphy
+        wten_t = wdyn
+        uten = udyn + uphy
+        vten = vdyn + vphy
+
+        if self.cfg.physics.ipptls == 1:
+            dtc, dqv, dqc = self._condtq(s, tten, qvten_t, qcten_t,
+                                         psb, rpsb, cldfra, dt)
+            tten = tten + dtc
+            qvten_t = qvten_t + dqv
+            qcten_t = qcten_t + dqc
+
+        # forecast t/qx + filters (t filter after sound's dp' correction
+        # ordering is approximated: filter first, sound adjusts both)
+        tc = s.t_b + dt * tten * self.m_ci
+        qvc = s.qx_b[IQV] + dt * qvten_t * self.m_ci
+        qcc = s.qx_b[IQC] + dt * qcten_t * self.m_ci
+        qvc = self._negfix(qvc)
+        qcc = self._negfix(qcc)
+        dtf = self.gnu1 * (tc + s.t_b - 2.0 * s.t_a)
+        t_b_n = jnp.where(self.m_ci > 0.5, s.t_a + dtf, s.t_b)
+        t_a_n = jnp.where(self.m_ci > 0.5, tc, s.t_a)
+        beta = 0.53
+        dq = self.gnu1 * (qvc + s.qx_b[IQV] - 2.0 * s.qx_a[IQV])
+        qv_b_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(s.qx_a[IQV] + beta * dq,
+                                       c.minqq * psa), s.qx_b[IQV])
+        qv_a_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(qvc + (beta - 1.0) * dq,
+                                       c.minqq * psb), s.qx_a[IQV])
+        dqcf = self.gnu2 * (qcc + s.qx_b[IQC] - 2.0 * s.qx_a[IQC])
+        qc_b_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(s.qx_a[IQC] + beta * dqcf, 0.0),
+                           s.qx_b[IQC])
+        qc_a_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(qcc + (beta - 1.0) * dqcf, 0.0),
+                           s.qx_a[IQC])
+
+        # acoustic solver → new u/v/pp/w + dp' T corrections -------------
+        from .sound import sound as _snd
+        s_t = s._replace(t_a=t_a_n, t_b=t_b_n)
+        u_c, v_c, pp_c, w_c, t_a_n, t_b_n = _snd(
+            self, base, s_t, uten, vten, ppten_t, wten_t, tb3, qvb3, dt)
+        # Asselin filters on sound outputs (mod_sound.F90:690-716)
+        duf = self.gnu1 * (u_c + s.u_b - 2.0 * s.u_a)
+        u_b_n = jnp.where(self.m_di > 0.5, s.u_a + duf, s.u_b)
+        u_a_n = jnp.where(self.m_di > 0.5, u_c, s.u_a)
+        dvf = self.gnu1 * (v_c + s.v_b - 2.0 * s.v_a)
+        v_b_n = jnp.where(self.m_di > 0.5, s.v_a + dvf, s.v_b)
+        v_a_n = jnp.where(self.m_di > 0.5, v_c, s.v_a)
+        dpf = self.gnu1 * (pp_c + s.pp_b - 2.0 * s.pp_a)
+        pp_b_n = jnp.where(self.m_ci > 0.5, s.pp_a + dpf, s.pp_b)
+        pp_a_n = jnp.where(self.m_ci > 0.5, pp_c, s.pp_a)
+        dwf = self.gnu2 * (w_c + s.w_b - 2.0 * s.w_a)
+        w_b_n = jnp.where(self.m_ci[None] > 0.5, s.w_a + dwf, s.w_b)
+        w_a_n = jnp.where(self.m_ci[None] > 0.5, w_c, s.w_a)
+
+        # bdyval ---------------------------------------------------------
+        xt2 = xt + dt
+        ecm = self.e_call > 0.5
+        edm = self.e_dall > 0.5
+        t_b_n = jnp.where(ecm, t_a_n, t_b_n)
+        qv_b_n = jnp.where(ecm, qv_a_n, qv_b_n)
+        qc_b_n = jnp.where(ecm, qc_a_n, qc_b_n)
+        u_b_n = jnp.where(edm, u_a_n, u_b_n)
+        v_b_n = jnp.where(edm, v_a_n, v_b_n)
+        pp_b_n = jnp.where(ecm, pp_a_n, pp_b_n)
+        w_b_n = jnp.where(ecm, w_a_n, w_b_n)
+        t_a_n = jnp.where(ecm, bdy.t0 + xt2 * bdy.tt, t_a_n)
+        qv_a_n = jnp.where(ecm, bdy.qv0 + xt2 * bdy.qvt, qv_a_n)
+        u_a_n = jnp.where(edm, bdy.u0 + xt2 * bdy.ut, u_a_n)
+        v_a_n = jnp.where(edm, bdy.v0 + xt2 * bdy.vt, v_a_n)
+
+        qx_a = jnp.stack([qv_a_n, qc_a_n])
+        qx_b = jnp.stack([qv_b_n, qc_b_n])
+        ns = s._replace(
+            u_a=u_a_n, u_b=u_b_n, v_a=v_a_n, v_b=v_b_n,
+            t_a=t_a_n, t_b=t_b_n, qx_a=qx_a, qx_b=qx_b,
+            pp_a=pp_a_n, pp_b=pp_b_n, w_a=w_a_n, w_b=w_b_n,
+            heatrt=heatrt, **sfupd)
+        diags = dict(
+            wmax=jnp.max(jnp.abs(w_a_n * rpsb[None])),
+            ppmax=jnp.max(jnp.abs(pp_a_n * rpsb[None])),
+            tmax=jnp.max(jnp.where(self.m_ci > 0.5, tdec, 0.0)),
         )
         return ns, diags
 

@@ -111,3 +111,22 @@ def test_mass_conservation_interior(cfg):
         m.step()
     mass1 = float(np.sum(np.asarray(m.state.ps_a) * w))
     assert abs(mass1 - mass0) / mass0 < 1e-4
+
+
+def test_nh_core_stable(cfg):
+    """MM5 non-hydrostatic core (idynamic=2): rest state bounded, 0.5K
+    perturbation damped by the Ikawa semi-implicit acoustic solver
+    (Main/mod_sound.F90:163)."""
+    import copy
+    c2 = copy.deepcopy(cfg)
+    c2.core.idynamic = 2
+    c2.geo.ds = 10.0
+    c2.time.dt = 30.0
+    from regcm_tpu.driver import Model, nh_initial_state
+    m = Model(c2, physics=False)
+    m.state = nh_initial_state(m.core, perturb=0.5, seed=5)
+    for _ in range(20):
+        d = m.step()
+    assert m.check_finite()
+    assert float(d["wmax"]) < 5.0
+    assert float(d["ppmax"]) < 500.0
