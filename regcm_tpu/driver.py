@@ -180,6 +180,64 @@ class Model:
         wall = time.time() - t0
         return diags, wall
 
+    # ICBC-driven runs (init/bdyin/bdyval, Main/mod_init.F90 +
+    # Main/mod_bdycod.F90:654) ------------------------------------------
+    def _icbc_to_state_fields(self, rec):
+        """Couple an ICBC record into prognostic arrays."""
+        from .dynamics.stencil import cross2dot
+        ptop = self.grid.ptop
+        ps = jnp.asarray(rec["ps"], self.dtype) / 1000.0 - ptop  # cb p*
+        ps = fix_cross_pad(ps)
+        psd = cross2dot(ps)
+        t = jnp.asarray(rec["t"], self.dtype) * ps[None]
+        qv = jnp.maximum(jnp.asarray(rec["qv"], self.dtype),
+                         c.minqq) * ps[None]
+        u = jnp.asarray(rec["u"], self.dtype) * psd[None]
+        v = jnp.asarray(rec["v"], self.dtype) * psd[None]
+        return ps, u, v, t, qv, jnp.asarray(rec["ts"], self.dtype)
+
+    def init_from_icbc(self, reader):
+        """Cold start from the ICBC record at mdate1 (mod_init cold)."""
+        rec, _ = reader.record_at(self.date)
+        ps, u, v, t, qv, ts = self._icbc_to_state_fields(rec)
+        qc = jnp.zeros_like(qv)
+        qx = jnp.stack([qv, qc])
+        self.state = self.state._replace(
+            ps_a=ps, ps_b=ps, u_a=u, u_b=u, v_a=v, v_b=v,
+            t_a=t, t_b=t, qx_a=qx, qx_b=qx, tg=ts)
+        if self.cfg.core.idynamic == 1:
+            self.state = self.core.init_split_storage(self.state)
+        self._icbc = reader
+        self.update_boundary()
+
+    def update_boundary(self):
+        """bdyin: load the bracketing ICBC records and form b0/bt
+        (Main/mod_bdycod.F90:654 + bdyval time interpolation)."""
+        reader = self._icbc
+        rec0, i0 = reader.record_at(self.date)
+        dtbdy = self.cfg.globdat.ibdyfrq * 3600.0
+        d1 = self.date.add_seconds(dtbdy)
+        rec1, i1 = reader.record_at(d1)
+        ps0, u0, v0, t0, qv0, _ = self._icbc_to_state_fields(rec0)
+        ps1, u1, v1, t1, qv1, _ = self._icbc_to_state_fields(rec1)
+        if i1 == i0:      # end of file: hold boundary constant
+            dtbdy = 1.0
+        self.bdy = BdyState(
+            ps0=ps0, pst=(ps1 - ps0) / dtbdy,
+            t0=t0, tt=(t1 - t0) / dtbdy,
+            qv0=qv0, qvt=(qv1 - qv0) / dtbdy,
+            u0=u0, ut=(u1 - u0) / dtbdy,
+            v0=v0, vt=(v1 - v0) / dtbdy)
+        self.xbctime = 0.0
+
+    def run_icbc(self, nsteps: int):
+        """Step loop with the 6-hourly boundary-input alarm."""
+        dtbdy = self.cfg.globdat.ibdyfrq * 3600.0
+        for _ in range(nsteps):
+            self.step()
+            if hasattr(self, "_icbc") and self.xbctime >= dtbdy:
+                self.update_boundary()
+
     # checkpoint/resume (mod_savefile equivalent; SURVEY §5.4) ----------
     def save_restart(self, path: str):
         from .io.restart import write_savefile

@@ -142,7 +142,8 @@ class PhysicsSuite:
                 tb3[kz - 1], qvb3[kz - 1], za[kz - 1],
                 atms["ps2d"] / (c.rgas * tb3[kz - 1]),
                 atms["ps2d"], s.tg, sst, core.grid_lndocn,
-                swabs, lwnet, precip, self.cfg.time.dtsrf)
+                swabs, lwnet, precip, self.cfg.time.dtsrf,
+                iocnflx=self.cfg.physics.iocnflx)
             hfx, qfx, uvdrag, tg = sf.hfx, sf.qfx, sf.uvdrag, sf.tg
             sfupd.update(hfx=hfx, qfx=qfx, uvdrag=uvdrag, tg=tg)
 

@@ -55,7 +55,7 @@ def bats_drag(usw, vsw, tatm, tgrd, ht, rhox, z0):
 
 def surface_fluxes(usw, vsw, tatm, qvatm, ht, rhox, sfps, tg, sst,
                    landmask, swabs, lwnet, prcp, dtsrf,
-                   beta_lnd=0.5) -> SurfaceOut:
+                   beta_lnd=0.5, iocnflx=2, hpbl=None) -> SurfaceOut:
     """Compute surface fluxes and advance land Tg by one surface step.
 
     usw/vsw: lowest-level winds (m/s); tatm/qvatm lowest-level T (K) and
@@ -78,6 +78,16 @@ def surface_fluxes(usw, vsw, tatm, qvatm, ht, rhox, sfps, tg, sst,
     sent = -drag * c.cpd * delt
     sent = jnp.where(jnp.abs(sent) < c.dlowval, 0.0, sent)
     evpr = jnp.where(evpr < c.dlowval, 0.0, evpr)
+    if iocnflx == 2:
+        # Zeng ocean fluxes replace BATS bulk over ocean points
+        from .zeng import zengocn
+        if hpbl is None:
+            hpbl = jnp.full_like(ht, 500.0)
+        zo = zengocn(usw, vsw, tatm, qvatm, ht, sfps,
+                     sfps * 0.99, sst, hpbl)
+        sent = jnp.where(land, sent, zo.sent)
+        evpr = jnp.where(land, evpr, jnp.maximum(zo.evpr, 0.0))
+        drag = jnp.where(land, drag, jnp.maximum(zo.drag, 1e-5))
 
     # land ground temperature: force-restore energy balance
     # C_s dTg/dt = SWabs + LWnet − H − L·E − G;  G = restoring to deep T
