@@ -62,7 +62,30 @@ class PhysicsSuite:
         # -- cumulus (mod_tendency.F90:1686; cu_interface :251-535) ------
         cldfra_cum = jnp.zeros_like(tb3)
         cldlwc_cum = jnp.zeros_like(tb3)
-        if self.icup == 4 and flags.do_cum:
+        if self.icup == 2 and flags.do_cum:
+            # Grell (FC80 closure; the large-scale-forced state uses the
+            # unforced profile here — AS74 closure needs the dynamic
+            # tendencies staged like m2c%tten, a later-round refinement)
+            from .cumulus.grell import cup as grell_cup
+            iy, jx = tb3.shape[1], tb3.shape[2]
+            ncol = iy * jx
+            flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
+            out = grell_cup(
+                flipc(tb3), flipc(qvb3), flipc(tb3), flipc(qvb3),
+                flipc(pb3) * 0.01,
+                atms["ps2d"].reshape(ncol) * 0.01,
+                (core.ht / c.egrav).reshape(ncol),
+                flipc(jnp.sqrt(atms["ubx3"] ** 2 + atms["vbx3"] ** 2)),
+                dt, igcc=self.cfg.physics.igcc)
+            unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
+            tphy = tphy + unflip(out.outt) * psb[None] * m_ci
+            qvphy = qvphy + unflip(out.outq) * psb[None] * m_ci
+            prate = out.pratec.reshape(iy, jx) * m_ci
+            sfupd["rainc"] = s.rainc + prate * core.dtsec
+            cldfra_cum = unflip(out.cldfrc)
+            cldlwc_cum = jnp.where(cldfra_cum > 0.0,
+                                   0.3e-3 * 1000.0 * rho, 0.0)
+        elif self.icup == 4 and flags.do_cum:
             iy, jx = tb3.shape[1], tb3.shape[2]
             ncol = iy * jx
             flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T

@@ -189,3 +189,29 @@ def test_emanuel_convection():
                   + lv * np.asarray(out.fq[0])) * dphl)
     assert abs(ent) < 1e-6
     assert bool(jnp.all(jnp.isfinite(out.ft)))
+
+
+def test_grell_convection():
+    """Grell scheme (cup, Main/cumlib/mod_cu_grell.F90:460): moist
+    unstable column convects with the FC80 closure; dry column inactive."""
+    from regcm_tpu.physics.cumulus.grell import cup
+    kz = 18
+    sig = np.linspace(0.995, 0.025, kz)
+    psur = np.array([1013.0, 1013.0])
+    p = sig[None] * (psur[:, None] - 50) + 50
+    t = np.maximum(302.0 * (p / psur[:, None]) ** 0.23, 200.0)
+    qs = np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(p * 100)))
+    q = qs.copy()
+    q[0] = qs[0] * np.concatenate([[0.95] * 5, [0.8] * 5, [0.4] * 8])
+    q[1] = qs[1] * 0.2
+    vsp = np.tile(np.linspace(2, 15, kz), (2, 1))
+    out = cup(jnp.asarray(t), jnp.asarray(q), jnp.asarray(t),
+              jnp.asarray(q), jnp.asarray(p), jnp.asarray(psur),
+              jnp.zeros(2), jnp.asarray(vsp), 300.0, igcc=2)
+    assert bool(out.active[0]) and not bool(out.active[1])
+    assert float(out.pratec[0]) * 86400.0 > 1.0
+    assert float(out.pratec[1]) == 0.0
+    # heating in cloud layer, bounded by htmax
+    assert float(out.outt[0].max()) * 86400.0 > 1.0
+    assert float(jnp.abs(out.outt[0]).max()) * 86400.0 <= 505.0
+    assert bool(jnp.all(jnp.isfinite(out.outt)))
