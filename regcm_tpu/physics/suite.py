@@ -126,7 +126,11 @@ class PhysicsSuite:
                                    0.3e-3 * 1000.0 * rho, 0.0)
 
         # -- cloud fraction + SUBEX (mod_tendency.F90:1715-1740) ---------
-        fcc = subex_cldfrac(tb3, pb3, qvb3, qcb3, rh, core.rh0[None])
+        from .cloud.fractions import cldfrac_dispatch
+        fcc = cldfrac_dispatch(
+            self.cfg.physics.icldfrac, tb3, pb3, qvb3, qcb3, rh,
+            atms["qsb3"], core.rh0[None], atms["ps2d"],
+            float(self.cfg.geo.ds))
         cldlwc, cldfra = combine_clouds(fcc, qcb3, rho, tb3,
                                         cldfra_cum, cldlwc_cum)
         if self.cfg.physics.ipptls == 1:

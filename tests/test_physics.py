@@ -215,3 +215,34 @@ def test_grell_convection():
     assert float(out.outt[0].max()) * 86400.0 > 1.0
     assert float(jnp.abs(out.outt[0]).max()) * 86400.0 <= 505.0
     assert bool(jnp.all(jnp.isfinite(out.outt)))
+
+
+def test_cloud_fraction_schemes():
+    """icldfrac scheme family (Main/cloudlib): all bounded in [0,1],
+    zero without condensate, increasing with RH."""
+    from regcm_tpu.physics.cloud.fractions import (
+        xuran_cldfrac, gulisa_cldfrac, texeira_cldfrac,
+        tompkins_cldfrac, echam5_cldfrac)
+    t, ph, pf, qv, rho = _column(rh=0.9)
+    qs = jnp.asarray(np.asarray(pfwsat(t, ph)))
+    qc = jnp.full_like(t, 2e-4)
+    rh_lo = jnp.full_like(t, 0.5)
+    rh_hi = jnp.full_like(t, 0.95)
+    ps2d = pf[-1]
+    for name, lo, hi in (
+            ("xuran", xuran_cldfrac(ph, qc, qv, qs, rh_lo),
+             xuran_cldfrac(ph, qc, qv, qs, rh_hi)),
+            ("texeira", texeira_cldfrac(qc, qs, rh_lo),
+             texeira_cldfrac(qc, qs, rh_hi)),
+            ("echam5", echam5_cldfrac(qc, rh_lo, ph, ps2d),
+             echam5_cldfrac(qc, rh_hi, ph, ps2d)),
+            ("tompkins", tompkins_cldfrac(qc, rh_lo, ph, ps2d),
+             tompkins_cldfrac(qc, rh_hi, ph, ps2d))):
+        assert float(lo.min()) >= 0.0 and float(hi.max()) <= 1.0, name
+        assert float(hi.mean()) >= float(lo.mean()), name
+        # no condensate → no cloud
+        zero = jnp.zeros_like(qc)
+        if name == "xuran":
+            assert float(xuran_cldfrac(ph, zero, qv, qs, rh_hi).max()) == 0
+    g = gulisa_cldfrac(qv, qs, qc, 60.0)
+    assert float(g.min()) >= 0.0 and float(g.max()) <= 1.0
