@@ -390,15 +390,21 @@ class HydroCore:
                 + self.twt2[1:] * ta[:-1]
                 * (pfs[1:kz] / phs[:-1]) ** c.c287)
             tdyn0 = tdyn0 + self._vadv_flux(fT, qdot)
-        # qv: hadvqv on decoupled + vadvqv on coupled
-        qvten = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
+        # qv: hadvqv on decoupled + vadvqv on coupled.  With Kuo
+        # (icup=1) the dycore defers qv vadv to cupara
+        # (mod_tendency.F90:1371-1373): active columns get the Kuo
+        # tendencies instead, others the vadv term (mod_cu_kuo.F90:270+)
+        qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
         qva = s.qx_a[IQV]
         ok = ((qva[1:] > c.minqq * psa[None])
               & (qva[:-1] > c.minqq * psa[None]))
         fgq = jnp.where(ok, qva[1:] * (qva[:-1]
                                        / jnp.maximum(qva[1:], 1e-30))
                         ** self.qcon[1:], 0.0)
-        qvten = qvten + self._vadv_flux(qdot[1:kz] * fgq, qdot)
+        qv_vadv = self._vadv_flux(qdot[1:kz] * fgq, qdot)
+        kuo_defer = (self.physics is not None
+                     and getattr(self.physics, "icup", 0) == 1)
+        qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
         # qc: hadv + vadv4d ind=1
         qcten = self._hadv_scalar(qcdec, uavg1, uavg2, vavg1, vavg2)
         qca = s.qx_a[IQC]
@@ -450,7 +456,10 @@ class HydroCore:
         heatrt = s.heatrt
         if self.physics is not None:
             (tphy, qvphy, qcphy, uphy, vphy, cldfra,
-             heatrt, sfupd) = self.physics(self, atms, s, bdy, flags, dt)
+             heatrt, sfupd) = self.physics(
+                 self, atms, s, bdy, flags, dt,
+                 dyn=dict(tdyn=tdyn, qvdyn=qvten, qvhadv=qvhadv,
+                          qv_vadv=qv_vadv))
         # radiation heating: tphy += psb·heatrt (mod_tendency.F90:1776)
         tphy = tphy + psb[None] * heatrt * self.m_ci
 
@@ -755,15 +764,19 @@ class HydroCore:
         fT = rdplf * qdot[1:kz] * (self.twt1[1:] * dq_t[1:]
                                    + self.twt2[1:] * dq_t[:-1])
         tdyn0 = tdyn0 + self._vadv_flux(fT, qdot)
-        # qv / qc (same forms as hydrostatic)
-        qvten = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
+        # qv / qc (same forms as hydrostatic; Kuo defers qv vadv, see
+        # step())
+        qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
         qva = s.qx_a[IQV]
         ok = ((qva[1:] > c.minqq * psa[None])
               & (qva[:-1] > c.minqq * psa[None]))
         fgq = jnp.where(ok, qva[1:] * (qva[:-1]
                                        / jnp.maximum(qva[1:], 1e-30))
                         ** self.qcon[1:], 0.0)
-        qvten = qvten + self._vadv_flux(qdot[1:kz] * fgq, qdot)
+        qv_vadv = self._vadv_flux(qdot[1:kz] * fgq, qdot)
+        kuo_defer = (self.physics is not None
+                     and getattr(self.physics, "icup", 0) == 1)
+        qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
         qcten = self._hadv_scalar(qcdec, uavg1, uavg2, vavg1, vavg2)
         qca = s.qx_a[IQC]
         fi = self.twt1[1:] * qca[1:] + self.twt2[1:] * qca[:-1]
@@ -858,7 +871,10 @@ class HydroCore:
         heatrt = s.heatrt
         if self.physics is not None:
             (tphy, qvphy, qcphy, uphy, vphy, cldfra,
-             heatrt, sfupd) = self.physics(self, atms, s, bdy, flags, dt)
+             heatrt, sfupd) = self.physics(
+                 self, atms, s, bdy, flags, dt,
+                 dyn=dict(tdyn=tdyn, qvdyn=qvten, qvhadv=qvhadv,
+                          qv_vadv=qv_vadv))
         tphy = tphy + psb[None] * heatrt * self.m_ci
         # pp heating tendency (xgamma·p0·Q/(cp·T0), mod_rad NH coupling)
         ppphy = (1.0 / (1.0 - c.rovcp)) * base.pr0 * heatrt \

@@ -31,6 +31,12 @@ class PhysicsSuite:
         self.grid = grid
         self.ricr = 0.25      # ricr_lnd/ocn default (mod_params.F90:485)
         self.icup = cfg.physics.icup_lnd
+        if cfg.physics.icup_lnd == 1:
+            from .cumulus.kuo import build_kuo_tables
+            import numpy as _np
+            tw, vq = build_kuo_tables(grid.sigma, grid.hsigma,
+                                      grid.dsigma, grid.ptop)
+            self._kuo_tabs = (jnp.asarray(tw), jnp.asarray(vq))
         # minorig: lowest Emanuel origin level (mod_params.F90:2352-2355)
         import numpy as _np
         hs = grid.hsigma
@@ -38,7 +44,7 @@ class PhysicsSuite:
         self.minorig = grid.kz - (max(kl) + 1) if kl else 1
 
     def __call__(self, core, atms, s: HydroState, bdy: BdyState,
-                 flags: StepFlags, dt):
+                 flags: StepFlags, dt, dyn=None):
         kz = core.kz
         psb = atms["psb"]
         tb3 = jnp.maximum(atms["tb3"], 150.0)
@@ -62,7 +68,36 @@ class PhysicsSuite:
         # -- cumulus (mod_tendency.F90:1686; cu_interface :251-535) ------
         cldfra_cum = jnp.zeros_like(tb3)
         cldlwc_cum = jnp.zeros_like(tb3)
-        if self.icup == 2 and flags.do_cum:
+        if self.icup == 1 and dyn is not None:
+            # Kuo (cupara): moisture-convergence triggered. The dycore
+            # deferred qv vadv (mod_tendency.F90:1371-1373): convecting
+            # columns get the Kuo tendencies, the rest the plain vadv
+            # term (mod_cu_kuo.F90:270-282) — applied every step.
+            qv_vadv = dyn["qv_vadv"]
+            if flags.do_cum:
+                from .cumulus.kuo import kuo
+                tw, vq = self._kuo_tabs
+                # k700: first 1-based level with p > 700 hPa
+                hs = self.grid.hsigma
+                import numpy as _np
+                k700 = int(_np.argmax(hs * 95.0 + 5.0 > 70.0)) + 1
+                # sca uses the COUPLED hadv-only tendency (cb kg/kg/s,
+                # mod_cu_kuo.F90:96-106 "only horizontal advection")
+                out = kuo(tb3, qvb3, pb3 * 1e-3, psb + core.ptop,
+                          dyn["qvhadv"],
+                          jnp.asarray(self.grid.sigma, tb3.dtype),
+                          jnp.asarray(self.grid.hsigma, tb3.dtype),
+                          jnp.asarray(self.grid.dsigma, tb3.dtype),
+                          tw, vq, core.ptop, k700)
+                am = out.active[None]
+                tphy = tphy + out.tten * psb[None] * m_ci
+                qvphy = qvphy + jnp.where(
+                    am, out.qvten * psb[None], qv_vadv) * m_ci
+                prate = out.prate * m_ci
+                sfupd["rainc"] = s.rainc + prate * core.dtsec
+            else:
+                qvphy = qvphy + qv_vadv * m_ci
+        elif self.icup == 2 and flags.do_cum:
             # Grell (FC80 closure; the large-scale-forced state uses the
             # unforced profile here — AS74 closure needs the dynamic
             # tendencies staged like m2c%tten, a later-round refinement)
@@ -70,8 +105,12 @@ class PhysicsSuite:
             iy, jx = tb3.shape[1], tb3.shape[2]
             ncol = iy * jx
             flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
+            tn3 = tb3 + (dyn["tdyn"] * (1.0 / psb)[None] * dt
+                         if dyn is not None else 0.0)
+            qo3 = qvb3 + (dyn["qvdyn"] * (1.0 / psb)[None] * dt
+                          if dyn is not None else 0.0)
             out = grell_cup(
-                flipc(tb3), flipc(qvb3), flipc(tb3), flipc(qvb3),
+                flipc(tb3), flipc(qvb3), flipc(tn3), flipc(qo3),
                 flipc(pb3) * 0.01,
                 atms["ps2d"].reshape(ncol) * 0.01,
                 (core.ht / c.egrav).reshape(ncol),

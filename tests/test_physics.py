@@ -246,3 +246,34 @@ def test_cloud_fraction_schemes():
             assert float(xuran_cldfrac(ph, zero, qv, qs, rh_hi).max()) == 0
     g = gulisa_cldfrac(qv, qs, qc, 60.0)
     assert float(g.min()) >= 0.0 and float(g.max()) <= 1.0
+
+
+def test_kuo_convection():
+    """Kuo scheme (cupara, Main/cumlib/mod_cu_kuo.F90): convects only
+    with moisture convergence above qdcrit in an unstable column."""
+    from regcm_tpu.physics.cumulus.kuo import kuo, build_kuo_tables
+    from regcm_tpu.utils.vertical import sigma_levels
+    kz = 18
+    sf, sh, dsg = sigma_levels(kz)
+    ptop = 5.0
+    ny, nx = 3, 3
+    ps = jnp.full((ny, nx), 96.325)      # p* cb
+    p = jnp.asarray(sh)[:, None, None] * ps[None] + ptop
+    t = 302.0 * (p / 101.325) ** 0.23
+    t = jnp.maximum(t, 205.0)
+    qs = np.asarray(pfwsat(t, p * 1000.0))
+    qv = jnp.asarray(qs) * 0.85
+    qadv = jnp.zeros((kz, ny, nx))
+    # strong low-level moisture convergence in column (1,1) only
+    qadv = qadv.at[12:, 1, 1].set(5e-6)
+    tw, vq = build_kuo_tables(sf, sh, dsg, ptop)
+    out = kuo(t, qv, p, ps + ptop, qadv, jnp.asarray(sf),
+              jnp.asarray(sh), jnp.asarray(dsg),
+              jnp.asarray(tw), jnp.asarray(vq), ptop, 7)
+    assert bool(out.active[1, 1])
+    assert not bool(out.active[0, 0])
+    assert float(out.prate[1, 1]) > 0.0
+    assert float(out.prate[0, 0]) == 0.0
+    # heating positive in cloud, finite
+    assert float(out.tten[:, 1, 1].max()) > 0.0
+    assert bool(jnp.all(jnp.isfinite(out.tten)))
