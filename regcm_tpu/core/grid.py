@@ -210,6 +210,20 @@ def build_grid(cfg: RegCMConfig, ht: Optional[np.ndarray] = None,
     fc, gc = coeff_maps(ibnd_cross, nspgx, False)
     fd, gd = coeff_maps(ibnd_dot, nspgd, True)
 
+    # sponge (iboudy=4) blending weights, setup_bdycon
+    # (Main/mod_bdycod.F90:237-251): ften ← w·ften + (1−w)·bt
+    sponge_extras = {}
+    if iboudy == 4:
+        def sponge_map(ibnd, nspg, wgts):
+            w = np.ones((iy, jx))
+            for n in range(2, nspg):
+                w[ibnd == n] = wgts[n - 2] if n - 2 < len(wgts) else 1.0
+            return w
+        sponge_extras["sponge_wc"] = sponge_map(
+            ibnd_cross, nspgx, [0.4, 0.7, 0.9])
+        sponge_extras["sponge_wd"] = sponge_map(
+            ibnd_dot, nspgd, [0.20, 0.55, 0.80, 0.95])
+
     # diffusion topo factor (initialize_diffusion,
     # Main/mod_diffusion.F90:96-147)
     dtsec = dt
@@ -242,5 +256,6 @@ def build_grid(cfg: RegCMConfig, ht: Optional[np.ndarray] = None,
         extras={"nspgx": nspgx, "nspgd": nspgd,
                 "fnudge": fnudge, "gnudge": gnudge,
                 "xkhmax": dxsq / (64.0 * dtsec),
-                "dydc": cfg.dyn.adyndif * c.vonkar * c.vonkar * ds * 0.25},
+                "dydc": cfg.dyn.adyndif * c.vonkar * c.vonkar * ds * 0.25,
+                **sponge_extras},
     )

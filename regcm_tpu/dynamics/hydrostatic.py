@@ -156,6 +156,9 @@ class HydroCore:
         self.gnu1 = cfg.dyn.gnu1
         self.gnu2 = cfg.dyn.gnu2
         self.iboudy = cfg.physics.iboudy
+        if self.iboudy == 4:      # sponge weights (mod_bdycod.F90:237)
+            self.spwc = f(g.extras["sponge_wc"])
+            self.spwd = f(g.extras["sponge_wd"])
         # temperature advection form (mod_tendency ithadv; 0 = plain T
         # flux advection + omega heating, 1 = theta advection)
         self.ithadv = int(cfg.dyn.extras.get("ithadv", 0))
@@ -330,8 +333,12 @@ class HydroCore:
                     coszrs=coszrs)
 
         # -- new_pressure (mod_tendency.F90:1428-1460) -------------------
-        ps_bdy_diff = (bdy.ps0 + (xt + dt) * bdy.pst) - psb
-        pten_n = pten + self._nudge2d(ps_bdy_diff)
+        if self.iboudy == 4:
+            # sponge2d: blend toward bdy tendency (mod_bdycod.F90:2726)
+            pten_n = self.spwc * pten + (1.0 - self.spwc) * bdy.pst
+        else:
+            ps_bdy_diff = (bdy.ps0 + (xt + dt) * bdy.pst) - psb
+            pten_n = pten + self._nudge2d(ps_bdy_diff)
         psc = psb + pten_n * dt
         psc = fix_cross_pad(psc)
         rpsc = 1.0 / psc
@@ -480,6 +487,12 @@ class HydroCore:
             tten = tten + dtc
             qvten_t = qvten_t + dqv
             qcten_t = qcten_t + dqc
+        if self.iboudy == 4:
+            # sponge on TOTAL tendencies (mod_tendency.F90:1481-1483,
+            # pc_total): ften ← w·ften + (1−w)·bt
+            wc3 = self.spwc[None]
+            tten = wc3 * tten + (1.0 - wc3) * bdy.tt
+            qvten_t = wc3 * qvten_t + (1.0 - wc3) * bdy.qvt
 
         # -- forecast t, qx at tau+1 (mod_tendency.F90:380-420) ----------
         tc = s.t_b + dt * tten * self.m_ci
@@ -536,8 +549,14 @@ class HydroCore:
             phi + shift(phi, 0, -1) - shift(phi, -1, 0)
             - shift(phi, -1, -1)) * dmsf2[None] * self.m_di
 
-        uten = (udyn + uphy) * self.m_di
-        vten = (vdyn + vphy) * self.m_di
+        uten = udyn + uphy
+        vten = vdyn + vphy
+        if self.iboudy == 4:
+            wd3 = self.spwd[None]
+            uten = wd3 * uten + (1.0 - wd3) * bdy.ut
+            vten = wd3 * vten + (1.0 - wd3) * bdy.vt
+        uten = uten * self.m_di
+        vten = vten * self.m_di
 
         # -- time filters (mod_timefilter.F90) ---------------------------
         # ps: RA filter (filter_ra_2d)
@@ -904,6 +923,17 @@ class HydroCore:
             tten = tten + dtc
             qvten_t = qvten_t + dqv
             qcten_t = qcten_t + dqc
+        if self.iboudy == 4:
+            # sponge on total tendencies (mod_tendency.F90:1481-1499);
+            # pp/w boundary fields are 0 → blend toward 0 tendency
+            wc3 = self.spwc[None]
+            wd3 = self.spwd[None]
+            tten = wc3 * tten + (1.0 - wc3) * bdy.tt
+            qvten_t = wc3 * qvten_t + (1.0 - wc3) * bdy.qvt
+            uten = wd3 * uten + (1.0 - wd3) * bdy.ut
+            vten = wd3 * vten + (1.0 - wd3) * bdy.vt
+            ppten_t = wc3 * ppten_t
+            wten_t = wc3 * wten_t      # (1,iy,jx) broadcasts over kz+1
 
         # forecast t/qx + filters (t filter after sound's dp' correction
         # ordering is approximated: filter first, sound adjusts both)

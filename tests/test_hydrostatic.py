@@ -130,3 +130,28 @@ def test_nh_core_stable(cfg):
     assert m.check_finite()
     assert float(d["wmax"]) < 5.0
     assert float(d["ppmax"]) < 500.0
+
+
+def test_sponge_boundary(cfg):
+    """Sponge lateral boundary (iboudy=4, Main/mod_bdycod.F90:237-251,
+    2597-2663): tendencies in the boundary zone blend toward the
+    large-scale tendency; with static boundaries the relaxation-zone
+    evolution is damped relative to iboudy=5 and the model stays
+    stable."""
+    import copy
+    c4 = copy.deepcopy(cfg)
+    c4.physics.iboudy = 4
+    grid = build_grid(c4)
+    assert "sponge_wc" in grid.extras
+    wc = grid.extras["sponge_wc"]
+    # reference weights on the distance-2 ring and interior=1
+    assert wc[1, 10] == pytest.approx(0.4)
+    assert wc[2, 10] == pytest.approx(0.7)
+    assert wc[10, 10] == 1.0
+    s = standard_atmosphere_state(grid, c4, perturb=0.2, seed=3)
+    m = Model(c4, grid=grid, initial_state=s, physics=False)
+    for _ in range(15):
+        m.step()
+    assert m.check_finite()
+    ps = np.asarray(m.state.ps_a)
+    assert ps.max() < 200.0 and ps.min() > 20.0

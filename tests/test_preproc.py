@@ -96,3 +96,28 @@ def test_icbc_driven_model_run(cfg, tmp_path):
     dec = m.decoupled()
     assert np.abs(dec["u"]).max() < 40.0
     assert 850.0 < dec["ps"][:-1, :-1].min() < 1050.0
+
+
+def test_sigma2z(cfg, tmp_path):
+    """ATM output → height levels (sigma2z, PostProc/sigma2z.F90):
+    hydrostatic heights via htsig + linear-in-z interpolation."""
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model, standard_atmosphere_state
+    from regcm_tpu.postproc.sigma2z import sigma2z, ZLEVS
+    grid = build_grid(cfg)
+    m = Model(cfg, grid=grid, physics=False,
+              initial_state=standard_atmosphere_state(grid, cfg))
+    m.open_output(str(tmp_path))
+    m.run_with_output(2)
+    m.streams.close()
+    atm = [f for f in os.listdir(tmp_path) if "ATM" in f][0]
+    out = sigma2z(str(tmp_path / atm), str(tmp_path / "zlev.nc"))
+    d = read_nc(out)
+    assert d["ta"].shape[1] == len(ZLEVS)
+    # standard atmosphere: T(2 km) ≈ 288 − 6.5·2 ≈ 275 K
+    i2k = list(d["zlev"]).index(2000.0)
+    t2k = d["ta"][0, i2k, 5:-5, 5:-5].mean()
+    assert 268.0 < t2k < 282.0
+    # temperature decreases with height across the stack
+    i10k = list(d["zlev"]).index(10000.0)
+    assert d["ta"][0, i10k].mean() < d["ta"][0, i2k].mean()
