@@ -168,6 +168,13 @@ class HydroCore:
             self.base = make_base_state(
                 grid, self.ptop,
                 logp_lrate=cfg.nonhydro.logp_lrate, dtype=dtype)
+            # upper-level Rayleigh damping to BCs (README.namelist
+            # ifrayd/rayndamp/rayalpha0/rayhd; Main/mod_bdycod.F90:5115)
+            dx = cfg.dyn.extras
+            self.ifrayd = int(dx.get("ifrayd", 1))
+            self.rayndamp = int(dx.get("rayndamp", 5))
+            self.rayalpha0 = float(dx.get("rayalpha0", 3.0e-4))
+            self.rayhd = float(dx.get("rayhd", 1.0e4))
 
     # ------------------------------------------------------------------
     # phase implementations (all pure; arrays (kz, iy, jx) or (iy, jx))
@@ -934,6 +941,35 @@ class HydroCore:
             vten = wd3 * vten + (1.0 - wd3) * bdy.vt
             ppten_t = wc3 * ppten_t
             wten_t = wc3 * wten_t      # (1,iy,jx) broadcasts over kz+1
+
+        if getattr(self, "ifrayd", 0) == 1:
+            # upper-level Rayleigh damping toward the BCs
+            # (mod_tendency.F90:356-364, 465-477; tau at
+            # mod_bdycod.F90:5115-5123), top min(kz, rayndamp) levels
+            za = atms["za"]
+            zq = atms["zq"]
+            halfpi = 0.5 * jnp.pi
+            def _tau(z, zmax):
+                t_ = self.rayalpha0 * jnp.sin(
+                    halfpi * (1.0 - (zmax - z) / self.rayhd)) ** 2
+                return jnp.where(z > zmax - self.rayhd, t_, 0.0)
+            nr = min(kz, self.rayndamp)
+            km = (jnp.arange(kz) < nr).astype(za.dtype)[:, None, None]
+            tau_c = _tau(za, za[0:1]) * km
+            xt2 = xt + dt
+            tten = tten + tau_c * ((bdy.t0 + xt2 * bdy.tt) - s.t_b)
+            qvten_t = qvten_t + tau_c * (
+                (bdy.qv0 + xt2 * bdy.qvt) - s.qx_b[IQV])
+            # dot-point z: 4-point average (raydampuv :4966)
+            zad = cross2dot(za)
+            tau_d = _tau(zad, zad[0:1]) * km
+            uten = uten + tau_d * ((bdy.u0 + xt2 * bdy.ut) - s.u_b)
+            vten = vten + tau_d * ((bdy.v0 + xt2 * bdy.vt) - s.v_b)
+            # pp/w boundary values are 0 (raydamp3f with d_zero)
+            ppten_t = ppten_t - tau_c * s.pp_b
+            kmq = (jnp.arange(kz + 1) < nr).astype(za.dtype)[:, None, None]
+            tau_q = _tau(zq, zq[0:1]) * kmq
+            wten_t = wten_t - tau_q * s.w_b
 
         # forecast t/qx + filters (t filter after sound's dp' correction
         # ordering is approximated: filter first, sound adjusts both)

@@ -155,3 +155,31 @@ def test_sponge_boundary(cfg):
     assert m.check_finite()
     ps = np.asarray(m.state.ps_a)
     assert ps.max() < 200.0 and ps.min() > 20.0
+
+
+def test_nh_rayleigh_damping(cfg):
+    """Upper-level Rayleigh damping to BCs (ifrayd=1, default for
+    idynamic=2; Main/mod_tendency.F90:356-364, tau at
+    Main/mod_bdycod.F90:5115-5123): a top-level wind anomaly decays
+    faster with the damper on."""
+    import copy
+    from regcm_tpu.driver import Model, nh_initial_state
+    res = {}
+    for ifrayd in (0, 1):
+        c2 = copy.deepcopy(cfg)
+        c2.core.idynamic = 2
+        c2.dyn.extras["idynamic"] = 2
+        c2.dyn.extras["ifrayd"] = ifrayd
+        c2.geo.ds = 10.0
+        c2.time.dt = 30.0
+        m = Model(c2, physics=False)
+        m.state = nh_initial_state(m.core, perturb=0.0, seed=7)
+        u = m.state.u_a.at[:3].add(
+            5.0 * np.asarray(m.state.ps_a)[None])
+        m.state = m.state._replace(u_a=u, u_b=u)
+        for _ in range(25):
+            m.step()
+        ua = np.asarray(m.state.u_a / m.state.ps_a[None])
+        res[ifrayd] = float(np.abs(ua[:3, 2:-2, 2:-2]).max())
+        assert m.check_finite()
+    assert res[1] < res[0]
