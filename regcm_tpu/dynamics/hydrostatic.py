@@ -632,6 +632,14 @@ class HydroCore:
         v_a_n = jnp.where(edm, bdy.v0 + xt2 * bdy.vt, v_a_n)
         psa_n = fix_cross_pad(psa_n)
         psb_n = fix_cross_pad(psb_n)
+        # inflow/outflow edges (mod_bdycod.F90:1809+): hydrometeors
+        # always (bdyflow); qv switched when iboudy is 3 or 4
+        ucx = dot2cross(u_a_n)
+        vcx = dot2cross(v_a_n)
+        qc_a_n = self._flow_edges(qc_a_n, psa_n, ucx, vcx)
+        if self.iboudy in (3, 4):
+            qv_a_n = self._flow_edges(qv_a_n, psa_n, ucx, vcx,
+                                      qext=qv_a_n)
 
         qx_a = jnp.stack([qv_a_n, qc_a_n])
         qx_b = jnp.stack([qv_b_n, qc_b_n])
@@ -1031,6 +1039,13 @@ class HydroCore:
         qv_a_n = jnp.where(ecm, bdy.qv0 + xt2 * bdy.qvt, qv_a_n)
         u_a_n = jnp.where(edm, bdy.u0 + xt2 * bdy.ut, u_a_n)
         v_a_n = jnp.where(edm, bdy.v0 + xt2 * bdy.vt, v_a_n)
+        # inflow/outflow edges (mod_bdycod.F90:1809+)
+        ucx = dot2cross(u_a_n)
+        vcx = dot2cross(v_a_n)
+        qc_a_n = self._flow_edges(qc_a_n, psa, ucx, vcx)
+        if self.iboudy in (3, 4):
+            qv_a_n = self._flow_edges(qv_a_n, psa, ucx, vcx,
+                                      qext=qv_a_n)
 
         qx_a = jnp.stack([qv_a_n, qc_a_n])
         qx_b = jnp.stack([qv_b_n, qc_b_n])
@@ -1045,6 +1060,41 @@ class HydroCore:
             tmax=jnp.max(jnp.where(self.m_ci > 0.5, tdec, 0.0)),
         )
         return ns, diags
+
+    # ------------------------------------------------------------------
+    def _flow_edges(self, q, ps, ucx, vcx, qext=None):
+        """Inflow/outflow-dependent cross edge values
+        (mod_bdycod.F90:1809-1948 qv with iboudy 3/4; :2155-2230
+        hydrometeors always): inflow edges take the external value
+        (or 0 for hydrometeors, qext=None), outflow edges extrapolate
+        the decoupled interior value recoupled with the edge p*.
+        ucx/vcx are 4-dot cross-averaged winds = windavg/4."""
+        kz, iy, jx = q.shape
+        rps = 1.0 / ps
+        qdec = q * rps[None]
+        zero = jnp.zeros((kz, iy), q.dtype)
+        zerox = jnp.zeros((kz, jx), q.dtype)
+        # west: cross col 0, interior col 1 (wue/wui windavg > 0 inflow)
+        ext = qext[:, :, 0] if qext is not None else zero
+        val = jnp.where(ucx[:, :, 0] > 0.0, ext,
+                        qdec[:, :, 1] * ps[None, :, 0])
+        q = q.at[:, :, 0].set(val)
+        # east: cross col jx-2, interior jx-3 (inflow if u < 0)
+        ext = qext[:, :, jx - 2] if qext is not None else zero
+        val = jnp.where(ucx[:, :, jx - 2] < 0.0, ext,
+                        qdec[:, :, jx - 3] * ps[None, :, jx - 2])
+        q = q.at[:, :, jx - 2].set(val)
+        # south: cross row 0, interior 1 (inflow if v > 0)
+        ext = qext[:, 0, :] if qext is not None else zerox
+        val = jnp.where(vcx[:, 0, :] > 0.0, ext,
+                        qdec[:, 1, :] * ps[None, 0, :])
+        q = q.at[:, 0, :].set(val)
+        # north: cross row iy-2, interior iy-3 (inflow if v < 0)
+        ext = qext[:, iy - 2, :] if qext is not None else zerox
+        val = jnp.where(vcx[:, iy - 2, :] < 0.0, ext,
+                        qdec[:, iy - 3, :] * ps[None, iy - 2, :])
+        q = q.at[:, iy - 2, :].set(val)
+        return q
 
     # ------------------------------------------------------------------
     def _nudge2d(self, diff):

@@ -183,3 +183,29 @@ def test_nh_rayleigh_damping(cfg):
         res[ifrayd] = float(np.abs(ua[:3, 2:-2, 2:-2]).max())
         assert m.check_finite()
     assert res[1] < res[0]
+
+
+def test_inflow_outflow_boundary(cfg):
+    """iboudy=3 (mod_bdycod.F90:1809-2230): edge qv/qc switch between
+    the external value (inflow; 0 for hydrometeors) and the interior
+    extrapolation (outflow) by the edge-normal wind."""
+    import copy
+    from regcm_tpu.core.state import bdy_from_state, IQC
+    c3 = copy.deepcopy(cfg)
+    c3.physics.iboudy = 3
+    grid = build_grid(c3)
+    s = standard_atmosphere_state(grid, c3, perturb=0.0)
+    # uniform westerly wind + cloud water stripe near the west edge
+    u = s.u_a + 5.0 * np.asarray(s.ps_a)[None]
+    qx = s.qx_a.at[IQC, :, :, 1:4].set(
+        1e-4 * np.asarray(s.ps_a)[None, :, 1:4])
+    s = s._replace(u_a=u, u_b=u, qx_a=qx, qx_b=qx)
+    m = Model(c3, grid=grid, initial_state=s, physics=False)
+    for _ in range(8):
+        m.step()
+    assert m.check_finite()
+    qc = np.asarray(m.state.qx_a[IQC] / m.state.ps_a[None])
+    # westerly flow: west edge is inflow → hydrometeor edge forced 0
+    assert float(np.abs(qc[:, 2:-2, 0]).max()) == 0.0
+    # east edge is outflow → follows the interior (non-negative, finite)
+    assert np.isfinite(qc[:, :, -2]).all()
