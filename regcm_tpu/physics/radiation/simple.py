@@ -23,6 +23,15 @@ import jax.numpy as jnp
 from ...utils import constants as c
 
 
+# GHG emissivity sensitivities (per-unit log concentration, scaled by
+# dp/p0): KCO2 calibrated so doubling CO2 gives ΔOLR ≈ −3.7 W/m2 on the
+# standard atmosphere; CH4/N2O scaled by their relative forcing
+# efficiencies (≈0.5/0.15 W/m2 per historical increment).
+KCO2 = 0.084
+KCH4 = 0.018
+KN2O = 0.011
+
+
 class RadOut(NamedTuple):
     heatrt: jax.Array     # (kz, iy, jx) K/s (decoupled)
     swabs_sfc: jax.Array  # absorbed SW at surface (W/m2)
@@ -32,11 +41,17 @@ class RadOut(NamedTuple):
 
 
 def radiation(t, qv, pf, ph, cldfra, cldlwc, coszrs, tg, albedo,
-              eccf=1.0) -> RadOut:
+              eccf=1.0, co2ppm=330.0, ch4ppb=1700.0,
+              n2oppb=310.0) -> RadOut:
     """Broadband radiative transfer; all (kz, iy, jx), pf (kz+1, iy, jx).
 
     t (K), qv (kg/kg), pf/ph (Pa), cldfra (0-1), cldlwc in-cloud g/m3,
     coszrs cosine zenith, tg ground T, albedo surface albedo.
+    co2ppm/ch4ppb/n2oppb: well-mixed GHG concentrations (from
+    physics/radiation/ghg.py scenario tables); the grey LW opacity is
+    calibrated at (330, 1700, 310), and the logarithmic increments are
+    tuned so a CO2 doubling reduces OLR by ≈3.7 W/m2 (the canonical
+    radiative forcing the reference's spectral schemes produce).
     """
     kz = t.shape[0]
     dp = pf[1:] - pf[:-1]                       # Pa
@@ -83,7 +98,13 @@ def radiation(t, qv, pf, ph, cldfra, cldlwc, coszrs, tg, albedo,
     # cooling 2-5 K/day for the std atmosphere at 50% RH)
     emis_v = 1.0 - jnp.exp(-0.2 * jnp.sqrt(jnp.maximum(wpath, 0.0)))
     emis_c = cldfra * (1.0 - jnp.exp(-0.13 * lwp))
-    emis = jnp.clip(emis_v + emis_c * (1.0 - emis_v), 1.0e-4, 0.999)
+    # well-mixed GHG increment (log forcing, zero at calibration point)
+    ghfac = (KCO2 * jnp.log(co2ppm / 330.0)
+             + KCH4 * jnp.log(ch4ppb / 1700.0)
+             + KN2O * jnp.log(n2oppb / 310.0))
+    emis_g = jnp.clip(ghfac, -0.3, 0.3) * (dp / c.stdp)
+    emis = jnp.clip(emis_v + emis_c * (1.0 - emis_v) + emis_g,
+                    1.0e-4, 0.999)
     bint = c.sigm * t ** 4
 
     # downward pass (top → surface)

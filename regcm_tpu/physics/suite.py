@@ -42,6 +42,14 @@ class PhysicsSuite:
         hs = grid.hsigma
         kl = [k for k in range(len(hs)) if hs[k] <= 0.950]
         self.minorig = grid.kz - (max(kl) + 1) if kl else 1
+        # GHG scenario concentrations at the run start year
+        # (set_scenario, Main/mpplib/mod_ipcc_scenario.F90:216)
+        from .radiation.ghg import ghg_concentrations
+        year = cfg.restart.mdate0 // 1000000 \
+            if getattr(cfg, "restart", None) else 1990
+        self.ghg = ghg_concentrations(
+            cfg.physics.scenario, float(year),
+            int(cfg.physics.extras.get("ghg_year_const", 1950)))
 
     def __call__(self, core, atms, s: HydroState, bdy: BdyState,
                  flags: StepFlags, dt, dyn=None):
@@ -189,7 +197,7 @@ class PhysicsSuite:
             coszrs = atms["coszrs"]
             alb = surface_albedo(coszrs, core.grid_lndocn)
             rad = radiation(tb3, qvb3, pf3, pb3, cldfra, cldlwc,
-                            coszrs, s.tg, alb)
+                            coszrs, s.tg, alb, **self.ghg)
             heatrt = rad.heatrt * m_ci
             sfupd["swsfc"] = rad.swabs_sfc
             sfupd["lwsfc"] = rad.lwnet_sfc

@@ -277,3 +277,43 @@ def test_kuo_convection():
     # heating positive in cloud, finite
     assert float(out.tten[:, 1, 1].max()) > 0.0
     assert bool(jnp.all(jnp.isfinite(out.tten)))
+
+
+def test_ghg_scenarios():
+    """Scenario concentrations (mod_ipcc_scenario.F90 cgas tables) and
+    the calibrated broadband CO2 forcing (~3.7 W/m2 per doubling)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from regcm_tpu.physics.radiation.ghg import ghg_concentrations
+    from regcm_tpu.physics.radiation.simple import radiation
+    from regcm_tpu.utils.vertical import sigma_levels
+    from regcm_tpu.utils.thermo import pfwsat
+    # historical + scenario spread
+    g1990 = ghg_concentrations("RCP4.5", 1990)
+    assert 350.0 < g1990["co2ppm"] < 358.0
+    g85 = ghg_concentrations("RCP8.5", 2100)
+    g26 = ghg_concentrations("RCP2.6", 2100)
+    assert g85["co2ppm"] > 900.0 > g26["co2ppm"]
+    # CONST pins to ghg_year_const; SSP aliases map
+    assert ghg_concentrations("CONST", 2050, 1950)["co2ppm"] == \
+        ghg_concentrations("RCP4.5", 1950)["co2ppm"]
+    assert ghg_concentrations("SSP585", 2100) == \
+        ghg_concentrations("RCP8.5", 2100)
+    # radiative response: OLR drops ~3.7 W/m2 per CO2 doubling
+    kz = 23
+    sf, sh, dsg = sigma_levels(kz)
+    ps = 101325.0
+    pf = sf[:, None, None] * (ps - 5000.0) + 5000.0 * np.ones((kz + 1, 3, 3))
+    ph = sh[:, None, None] * (ps - 5000.0) + 5000.0 * np.ones((kz, 3, 3))
+    t = np.maximum(288.0 - 6.5e-3 * 287.0 / 9.81 * 288.0
+                   * np.log(ps / ph), 216.7)
+    qv = 0.5 * np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(ph)))
+    z = jnp.zeros((kz, 3, 3))
+    cz = jnp.full((3, 3), 0.5)
+    tg = jnp.full((3, 3), 288.0)
+    alb = jnp.full((3, 3), 0.1)
+    f = lambda ppm: radiation(jnp.asarray(t), jnp.asarray(qv),
+                              jnp.asarray(pf), jnp.asarray(ph),
+                              z, z, cz, tg, alb, co2ppm=ppm)
+    dolr = float(f(660.0).olr.mean() - f(330.0).olr.mean())
+    assert -4.5 < dolr < -3.0
