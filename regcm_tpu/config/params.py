@@ -260,6 +260,16 @@ class TerrainParam:
 
 
 @dataclass
+class SlabOceanParam:
+    """&slabocparam (Main/mod_params.F90:171)."""
+    do_qflux_adj: bool = False
+    do_restore_sst: bool = True
+    sst_restore_timescale: float = 5.0   # days (mod_params.F90:495)
+    mixed_layer_depth: float = 50.0      # m (mod_params.F90:494)
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
 class GlobdatParam:
     dattyp: str = "EIN15"
     ssttyp: str = "OI_WK"
@@ -292,6 +302,7 @@ class RegCMConfig:
     debug: DebugParam = field(default_factory=DebugParam)
     terrain: TerrainParam = field(default_factory=TerrainParam)
     globdat: GlobdatParam = field(default_factory=GlobdatParam)
+    slaboc: SlabOceanParam = field(default_factory=SlabOceanParam)
     raw: Dict[str, Dict[str, Any]] = field(default_factory=dict)
 
     _GROUP_MAP = {
@@ -311,6 +322,7 @@ class RegCMConfig:
         "debugparam": ("debug", DebugParam),
         "terrainparam": ("terrain", TerrainParam),
         "globdatparam": ("globdat", GlobdatParam),
+        "slabocparam": ("slaboc", SlabOceanParam),
     }
 
     @classmethod

@@ -210,7 +210,10 @@ class PhysicsSuite:
         # -- surface model (dtsrf alarm; :1786-1795) ---------------------
         hfx, qfx, uvdrag, tg = s.hfx, s.qfx, s.uvdrag, s.tg
         if flags.do_srf:
-            sst = core.sst
+            slab = self.cfg.physics.islab_ocean == 1
+            # with the slab ocean the prognostic SST lives in tg over
+            # ocean points (sfs%tg2 aliasing, mod_slabocean.F90:79)
+            sst = s.tg if slab else core.sst
             sf = surface_fluxes(
                 atms["ubx3"][kz - 1], atms["vbx3"][kz - 1],
                 tb3[kz - 1], qvb3[kz - 1], za[kz - 1],
@@ -219,6 +222,20 @@ class PhysicsSuite:
                 swabs, lwnet, precip, self.cfg.time.dtsrf,
                 iocnflx=self.cfg.physics.iocnflx)
             hfx, qfx, uvdrag, tg = sf.hfx, sf.qfx, sf.uvdrag, sf.tg
+            if slab:
+                # update_slabocean (mod_regcm_interface path,
+                # mod_slabocean.F90:95): mixed-layer energy budget with
+                # restoring toward the forcing SST (xtsb%b1 ≈ core.sst)
+                from .surface.slab import update_slabocean
+                sp = self.cfg.slaboc
+                ocmask = core.grid_lndocn < 0.5
+                sst_new, _ = update_slabocean(
+                    tg, core.sst, ocmask, swabs, -lwnet, hfx, qfx,
+                    self.cfg.time.dtsrf,
+                    mixed_layer_depth=sp.mixed_layer_depth,
+                    do_restore_sst=sp.do_restore_sst,
+                    sst_restore_timescale=sp.sst_restore_timescale)
+                tg = sst_new
             sfupd.update(hfx=hfx, qfx=qfx, uvdrag=uvdrag, tg=tg)
 
         # -- PBL (:1799-1819) --------------------------------------------

@@ -88,6 +88,20 @@ def surface_fluxes(usw, vsw, tatm, qvatm, ht, rhox, sfps, tg, sst,
         sent = jnp.where(land, sent, zo.sent)
         evpr = jnp.where(land, evpr, jnp.maximum(zo.evpr, 0.0))
         drag = jnp.where(land, drag, jnp.maximum(zo.drag, 1e-5))
+    elif iocnflx == 3:
+        # COARE3 bulk fluxes over ocean points (mod_ocn_coare.F90)
+        from .coare import coare3
+        if hpbl is None:
+            hpbl = jnp.full_like(ht, 500.0)
+        # sfta = tp3d[kz]: air T referenced adiabatically to the surface
+        # (mod_slice.F90:125, mod_lm_interface.F90:339)
+        sfta = tatm * (sfps / (sfps - rhox * c.egrav * ht)) ** c.rovcp
+        co = coare3(usw, vsw, tatm, qvatm, ht, sfps,
+                    sfta, sst, hpbl, swabs,
+                    -lwnet, rhox)
+        sent = jnp.where(land, sent, co.sent)
+        evpr = jnp.where(land, evpr, jnp.maximum(co.evpr, 0.0))
+        drag = jnp.where(land, drag, jnp.maximum(co.drag, 1e-5))
 
     # land ground temperature: force-restore energy balance
     # C_s dTg/dt = SWabs + LWnet − H − L·E − G;  G = restoring to deep T

@@ -75,6 +75,11 @@ def wlh(t):
     return jnp.where(t > c.tzero, c.wlhv - 2369.0 * (t - c.tzero), c.wlhs)
 
 
+def cpmf(q):
+    """Specific heat of moist air (Share/cpmf.inc): cpd(1-q) + cpv·q."""
+    return c.cpd * (1.0 - q) + c.cpv * q
+
+
 def virtual_temperature(t, qv):
     """Tv = T (1 + 0.608 qv) (qv specific humidity)."""
     return t * (1.0 + c.ep1 * qv)

@@ -317,3 +317,58 @@ def test_ghg_scenarios():
                               z, z, cz, tg, alb, co2ppm=ppm)
     dolr = float(f(660.0).olr.mean() - f(330.0).olr.mean())
     assert -4.5 < dolr < -3.0
+
+
+def test_coare3_fluxes():
+    """COARE3 (mod_ocn_coare.F90): warm SST under cool air gives upward
+    sensible+latent heat; fluxes scale with wind; outputs finite."""
+    from regcm_tpu.physics.surface.coare import coare3
+    ny = nx = 4
+    f2 = lambda v: jnp.full((ny, nx), v)
+    out = coare3(f2(6.0), f2(0.0), f2(290.0), f2(0.010), f2(40.0),
+                 f2(101325.0), f2(290.2), f2(299.0), f2(600.0),
+                 f2(200.0), f2(50.0), f2(1.2))
+    assert np.all(np.isfinite(np.asarray(out.sent)))
+    assert np.all(np.isfinite(np.asarray(out.evpr)))
+    assert float(out.evpr.min()) > 0.0          # warm sea evaporates
+    assert float(out.drag.min()) > 0.0
+    assert 0.05 < float(out.ustar.mean()) < 1.5
+    assert 3.0 < float(out.u10.mean()) < 9.0
+    # stronger wind → larger evaporation and drag
+    out2 = coare3(f2(12.0), f2(0.0), f2(290.0), f2(0.010), f2(40.0),
+                  f2(101325.0), f2(290.2), f2(299.0), f2(600.0),
+                  f2(200.0), f2(50.0), f2(1.2))
+    assert float(out2.evpr.mean()) > float(out.evpr.mean())
+    assert float(out2.ustar.mean()) > float(out.ustar.mean())
+    # cold SST below the air dewpoint: no evaporation (condensation
+    # clipped to zero, :346)
+    out3 = coare3(f2(6.0), f2(0.0), f2(290.0), f2(0.008), f2(40.0),
+                  f2(101325.0), f2(290.2), f2(283.0), f2(600.0),
+                  f2(200.0), f2(50.0), f2(1.2))
+    assert float(out3.evpr.max()) == 0.0
+
+
+def test_slab_ocean():
+    """Slab ocean (mod_slabocean.F90): SST warms under net heating,
+    restoring pulls toward the forcing SST, land points untouched."""
+    from regcm_tpu.physics.surface.slab import update_slabocean
+    ny = nx = 4
+    f2 = lambda v: jnp.full((ny, nx), v)
+    ocmask = jnp.ones((ny, nx), bool).at[0, 0].set(False)
+    sst = f2(290.0)
+    # strong net heating, no restore difference (sstbc == sst)
+    s1, q1 = update_slabocean(sst, sst, ocmask, f2(400.0), f2(60.0),
+                              f2(20.0), f2(5e-5), 600.0)
+    d = np.asarray(s1 - sst)
+    assert d[1, 1] > 0.0
+    assert d[0, 0] == 0.0                       # land unchanged
+    # analytic check: dSST = dt*(fsw-flw-h-L*E)/mlcp
+    mlcp = 50.0 * 4.0e6
+    import regcm_tpu.utils.constants as cc
+    expect = 600.0 * (400.0 - 60.0 - 20.0 - cc.wlhv * 5e-5) / mlcp
+    assert abs(d[1, 1] - expect) < 1e-12
+    # restoring toward warmer bc SST adds heating
+    s2, q2 = update_slabocean(sst, f2(295.0), ocmask, f2(0.0), f2(0.0),
+                              f2(0.0), f2(0.0), 600.0)
+    assert float(np.asarray(s2)[1, 1]) > 290.0
+    assert float(np.asarray(q2)[1, 1]) > 0.0
