@@ -31,6 +31,10 @@ class PhysicsSuite:
         self.grid = grid
         self.ricr = 0.25      # ricr_lnd/ocn default (mod_params.F90:485)
         self.icup = cfg.physics.icup_lnd
+        # shallow convection runs everywhere when any icup < 0
+        # (mod_tendency.F90:316, shallcu has no land/ocean gating)
+        self.shallow = (cfg.physics.icup_lnd < 0
+                        or cfg.physics.icup_ocn < 0)
         if cfg.physics.icup_lnd == 1:
             from .cumulus.kuo import build_kuo_tables
             import numpy as _np
@@ -262,6 +266,24 @@ class PhysicsSuite:
             qcphy = qcphy + out.qcten
             uphy = uphy + out.uten
             vphy = vphy + out.vten
+
+        # -- shallow convection (any icup<0; mod_tendency.F90:316) -------
+        # runs on the TOTAL (dyn+phy) tendencies after everything else,
+        # like the reference's post-summation call site.
+        if self.shallow and dyn is not None and flags.do_cum:
+            from .cumulus.shallow import shallcu
+            iy, jx = tb3.shape[1], tb3.shape[2]
+            ncol = iy * jx
+            flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
+            rpsb = (1.0 / psb)[None]
+            ttot = flipc((dyn["tdyn"] + tphy) * rpsb)
+            qvtot = flipc((dyn["qvdyn"] + qvphy) * rpsb)
+            out = shallcu(flipc(tb3), flipc(qvb3), ttot, qvtot,
+                          flipc(pb3) * 0.01, atms["ps2d"].reshape(ncol)
+                          * 0.01, (core.ht / c.egrav).reshape(ncol), dt)
+            unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
+            tphy = tphy + unflip(out.outts) * psb[None] * m_ci
+            qvphy = qvphy + unflip(out.outqs) * psb[None] * m_ci
 
         cldfra_out = cldfra
         return (tphy, qvphy, qcphy, uphy, vphy, cldfra_out, heatrt, sfupd)

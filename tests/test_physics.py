@@ -372,3 +372,52 @@ def test_slab_ocean():
                               f2(0.0), f2(0.0), 600.0)
     assert float(np.asarray(s2)[1, 1]) > 290.0
     assert float(np.asarray(q2)[1, 1]) > 0.0
+
+
+def test_shallow_convection():
+    """Shallow scheme (mod_cu_shallow.F90): a conditionally unstable
+    boundary layer being destabilized by forcing produces a positive
+    mass flux, no precipitation, column-enthalpy-neutral T/q tendencies
+    confined to the lower troposphere."""
+    from regcm_tpu.physics.cumulus.shallow import shallcu
+    kz = 18
+    sig = np.array([0.025, 0.075, 0.13, 0.195, 0.27, 0.35, 0.425, 0.5,
+                    0.57, 0.64, 0.71, 0.78, 0.845, 0.895, 0.93, 0.96,
+                    0.98, 0.993])[::-1]      # bottom-up, dense low levels
+    ps = 1000.0
+    p = sig * (ps - 50.0) + 50.0
+    # marine trade-cumulus-like: moist subcloud layer under a weak
+    # inversion (cloud base at level 2), steep lapse above
+    t = np.maximum(300.0 * (p / ps) ** 0.2857, 210.0)
+    t[1] += 1.5
+    t[2] += 2.0
+    qs = np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(p * 100.0)))
+    rhprof = np.concatenate([[0.97, 0.9, 0.8, 0.75, 0.7],
+                             [0.45] * 5, [0.3] * 8])
+    q = qs * rhprof
+    ncol = 2
+    t2 = jnp.asarray(np.tile(t, (ncol, 1)))
+    q2 = jnp.asarray(np.tile(q, (ncol, 1)))
+    # column 0: surface moistening+warming forcing (destabilizing);
+    # column 1: no forcing
+    tten = np.zeros((ncol, kz)); qten = np.zeros((ncol, kz))
+    tten[0, :3] = 3.0 / 3600.0           # 3 K/h near-surface heating
+    qten[0, :4] = 2.0e-3 / 3600.0
+    out = shallcu(t2, q2, jnp.asarray(tten), jnp.asarray(qten),
+                  jnp.asarray(np.tile(p, (ncol, 1))),
+                  jnp.full((ncol,), ps), jnp.zeros((ncol,)), 300.0)
+    assert np.all(np.isfinite(np.asarray(out.outts)))
+    assert np.all(np.isfinite(np.asarray(out.outqs)))
+    assert float(out.xmb[0]) > 0.0        # forced column convects
+    assert float(out.xmb[1]) == 0.0       # unforced column does not
+    # tendencies vanish above 400 hPa (shallow depth cap)
+    hi = p < 400.0
+    assert float(np.abs(np.asarray(out.outts)[:, hi]).max()) == 0.0
+    # moist static energy roughly redistributed (cpd·dT + L·dq ≈ 0
+    # columnwise). Not exact: the reference zeroes della(kbeg)
+    # (mod_cu_shallow.F90:653), dropping the cloud-base compensation.
+    dp = np.gradient(p) * -1.0
+    mse = np.sum((c.cpd * np.asarray(out.outts)[0]
+                  + c.wlhv * np.asarray(out.outqs)[0]) * dp)
+    scale = np.sum(np.abs(c.cpd * np.asarray(out.outts)[0]) * dp) + 1e-30
+    assert abs(mse) / scale < 0.6
