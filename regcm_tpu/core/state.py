@@ -65,6 +65,7 @@ class HydroState(NamedTuple):
     swsfc: jax.Array     # absorbed shortwave at surface (W/m2)
     lwsfc: jax.Array     # net downward longwave at surface (W/m2)
     cbmf: jax.Array      # Emanuel cloud-base mass flux memory (kg/m2/s)
+    cldefi: jax.Array    # Betts-Miller cloud efficiency memory (mod_cu_bm)
 
 
 class BdyState(NamedTuple):
@@ -98,7 +99,9 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         t_a=z3, t_b=z3, qx_a=z4, qx_b=z4,
         pp_a=z3, pp_b=z3, w_a=zw, w_b=zw, dstor=zs, hstor=zs,
         tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
-        uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2)
+        uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
+        # BM efinit: avgefi everywhere (mod_cu_bm.F90:229-236)
+        cldefi=jnp.full((iy, jx), 0.6, dtype))
 
 
 def bdy_from_state(s: HydroState) -> BdyState:

@@ -136,6 +136,33 @@ class PhysicsSuite:
             cldfra_cum = unflip(out.cldfrc)
             cldlwc_cum = jnp.where(cldfra_cum > 0.0,
                                    0.3e-3 * 1000.0 * rho, 0.0)
+        elif self.icup == 3 and flags.do_cum:
+            # Betts-Miller (bmpara, Main/cumlib/mod_cu_bm.F90:134).
+            # Arrays are already top-down; no flip needed.
+            from .cumulus.betts_miller import (bmpara,
+                                               model_cumulus_cloud,
+                                               clwfromt)
+            iy, jx = tb3.shape[1], tb3.shape[2]
+            ncol = iy * jx
+            colc = lambda a: a.reshape(kz, ncol).T
+            out = bmpara(colc(tb3), colc(qvb3), colc(pb3),
+                         pf3.reshape(kz + 1, ncol).T,
+                         colc(za + (core.ht / c.egrav)[None]),
+                         atms["ps2d"].reshape(ncol),
+                         core.grid_lndocn.reshape(ncol),
+                         s.cldefi.reshape(ncol), dt)
+            uncol = lambda a: a.T.reshape(kz, iy, jx)
+            tphy = tphy + uncol(out.tten) * psb[None] * m_ci
+            qvphy = qvphy + uncol(out.qten) * psb[None] * m_ci
+            prate = out.prate.reshape(iy, jx) * m_ci
+            sfupd["rainc"] = s.rainc + prate * core.dtsec
+            sfupd["cldefi"] = out.cldefi.reshape(iy, jx)
+            # cucloud via model_cumulus_cloud (icup==3 path,
+            # mod_cu_interface.F90:229)
+            cldfra_cum = uncol(model_cumulus_cloud(
+                out.kbot, out.ktop, kz, float(self.cfg.geo.ds)))
+            cldlwc_cum = jnp.where(cldfra_cum > 0.001,
+                                   clwfromt(tb3), 0.0)
         elif self.icup == 4 and flags.do_cum:
             iy, jx = tb3.shape[1], tb3.shape[2]
             ncol = iy * jx

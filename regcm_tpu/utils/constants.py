@@ -113,6 +113,22 @@ scon = solcon
 
 # Von Karman / surface layer --------------------------------------------
 vonkar = 0.4
+
+# Kain-Fritsch / WSM5 / Betts-Miller saturation constants
+# (Share/mod_constants.F90:327-338)
+aliq = 613.3
+bliq = 17.502
+cliq = 4780.8
+dliq = 32.19
+aice = 613.20
+bice = 22.452
+cice = 6133.0
+dice = 0.61
+xlv0 = 3.15e6
+xlv1 = 2370.0
+xls0 = 2.905e6
+xls1 = 259.532
+pq0 = 379.90516          # (:223)
 stdp = 1.013250e5                    # standard surface pressure (Pa)
 stdpmb = 1013.250
 stdt = 288.15

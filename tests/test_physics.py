@@ -421,3 +421,47 @@ def test_shallow_convection():
                   + c.wlhv * np.asarray(out.outqs)[0]) * dp)
     scale = np.sum(np.abs(c.cpd * np.asarray(out.outts)[0]) * dp) + 1e-30
     assert abs(mse) / scale < 0.6
+
+
+def test_betts_miller():
+    """Betts-Miller (mod_cu_bm.F90): a moist conditionally unstable
+    column deep-convects (rain, heating aloft / drying below, cldefi
+    spun up); a dry column stays inactive."""
+    from regcm_tpu.physics.cumulus.betts_miller import bmpara, AVGEFI
+    kz = 18
+    sig = np.array([0.025, 0.075, 0.13, 0.195, 0.27, 0.35, 0.425, 0.5,
+                    0.57, 0.64, 0.71, 0.78, 0.845, 0.895, 0.93, 0.96,
+                    0.98, 0.993])                 # top-down
+    ps = 101300.0
+    p = sig * (ps - 5000.0) + 5000.0
+    pf = np.concatenate([[5000.0], 0.5 * (p[1:] + p[:-1]), [ps]])
+    t = np.maximum(302.0 * (p / ps) ** 0.21, 200.0)
+    qs = np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(p)))
+    ncol = 2
+    t2 = np.tile(t, (ncol, 1))
+    q2 = np.tile(qs * 0.85, (ncol, 1))
+    q2[1] = qs * 0.15                              # dry column
+    z = np.zeros(kz)
+    z[-1] = 287.0 * t[-1] / 9.81 * np.log(ps / p[-1])
+    for k in range(kz - 2, -1, -1):
+        z[k] = z[k + 1] + 287.0 * 0.5 * (t[k] + t[k + 1]) / 9.81 \
+            * np.log(p[k + 1] / p[k])
+    out = bmpara(jnp.asarray(t2), jnp.asarray(q2),
+                 jnp.asarray(np.tile(p, (ncol, 1))),
+                 jnp.asarray(np.tile(pf, (ncol, 1))),
+                 jnp.asarray(np.tile(z, (ncol, 1))),
+                 jnp.full((ncol,), ps), jnp.zeros((ncol,)),
+                 jnp.full((ncol,), AVGEFI), 150.0)
+    tten = np.asarray(out.tten)
+    qten = np.asarray(out.qten)
+    assert np.all(np.isfinite(tten)) and np.all(np.isfinite(qten))
+    assert float(out.prate[0]) > 0.0               # moist column rains
+    assert float(out.prate[1]) == 0.0
+    assert np.abs(tten[1]).max() == 0.0            # dry column untouched
+    assert int(out.ktop[0]) < int(out.kbot[0]) - 2  # deep cloud
+    # convective adjustment: warming aloft, cooling/drying at low levels
+    assert tten[0, int(out.ktop[0])] > 0.0
+    assert tten[0, -2] < 0.0
+    assert qten[0, -2] < 0.0
+    # efficiency memory spun up over ocean toward 1
+    assert float(out.cldefi[0]) > AVGEFI
