@@ -17,9 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# tracer indices (mod_runparams iqv/iqc ordering; SUBEX uses 2 species)
+# tracer indices (mod_runparams.F90:38-42 iqv..iqs, 0-based; SUBEX uses
+# 2 species, Nogherotto-Tompkins/WSM5 use 5: mod_params.F90:1359-1363)
 IQV = 0
 IQC = 1
+IQR = 2
+IQI = 3
+IQS = 4
 
 
 class StepFlags(NamedTuple):

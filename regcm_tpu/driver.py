@@ -55,12 +55,13 @@ def standard_atmosphere_state(grid: ModelGrid, cfg: RegCMConfig,
                                              jnp.asarray(p * 1000.0))),
                     c.minqq)
     qv = np.minimum(qv, 0.015)
-    s = zeros_hydro(kz, iy, jx, dtype=dtype)
+    nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
+    s = zeros_hydro(kz, iy, jx, nqx=nqx, dtype=dtype)
     psj = jnp.asarray(ps, dtype)
     tj = jnp.asarray(t * ps[None], dtype)
     qvj = jnp.asarray(qv * ps[None], dtype)
-    qcj = jnp.zeros_like(qvj)
-    qx = jnp.stack([qvj, qcj])
+    qx = jnp.concatenate([qvj[None],
+                          jnp.zeros((nqx - 1,) + qvj.shape, dtype)])
     tg = jnp.asarray(t[-1], dtype)
     s = s._replace(ps_a=psj, ps_b=psj, t_a=tj, t_b=tj,
                    qx_a=qx, qx_b=qx, tg=tg)
@@ -75,7 +76,7 @@ def nh_initial_state(core, perturb: float = 0.0, seed: int = 0
     base = core.base
     g = core.grid
     iy, jx, kz = g.iy, g.jx, g.kz
-    s = zeros_hydro(kz, iy, jx, dtype=core.dtype)
+    s = zeros_hydro(kz, iy, jx, nqx=core.nqx, dtype=core.dtype)
     ps = base.ps0
     t0 = np.asarray(base.t0)
     if perturb > 0.0:
@@ -87,7 +88,8 @@ def nh_initial_state(core, perturb: float = 0.0, seed: int = 0
                     0.01)
     tj = jnp.asarray(t0, core.dtype) * ps[None]
     qvj = jnp.asarray(qv, core.dtype) * ps[None]
-    qx = jnp.stack([qvj, jnp.zeros_like(qvj)])
+    qx = jnp.concatenate(
+        [qvj[None], jnp.zeros((core.nqx - 1,) + qvj.shape, core.dtype)])
     return s._replace(ps_a=ps, ps_b=ps, t_a=tj, t_b=tj,
                       qx_a=qx, qx_b=qx,
                       tg=jnp.asarray(t0[-1], core.dtype))
@@ -200,8 +202,9 @@ class Model:
         """Cold start from the ICBC record at mdate1 (mod_init cold)."""
         rec, _ = reader.record_at(self.date)
         ps, u, v, t, qv, ts = self._icbc_to_state_fields(rec)
-        qc = jnp.zeros_like(qv)
-        qx = jnp.stack([qv, qc])
+        qx = jnp.concatenate(
+            [qv[None],
+             jnp.zeros((self.core.nqx - 1,) + qv.shape, self.dtype)])
         self.state = self.state._replace(
             ps_a=ps, ps_b=ps, u_a=u, u_b=u, v_a=v, v_b=v,
             t_a=t, t_b=t, qx_a=qx, qx_b=qx, tg=ts)

@@ -56,7 +56,9 @@ class HydroCore:
         g = grid
         kz = g.kz
         self.kz = kz
-        self.nqx = 2
+        # nqx: 2 (qv,qc) for SUBEX; 5 (qv,qc,qr,qi,qs) for the 5-species
+        # schemes (Main/mod_params.F90:1359-1363)
+        self.nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
         self.ptop = float(g.ptop)
         self.dx = float(g.ds)
         self.dtsec = cfg.dtsec
@@ -232,10 +234,13 @@ class HydroCore:
     def _vadv_flux(self, fint, svv):
         """Generic vertical flux divergence: fint (kz-1,…) interface flux
         values at interior full levels (already × svv);
-        ften[k-1] -= f/ds[k-1]; ften[k] += f/ds[k]."""
-        zt = jnp.zeros_like(fint[:1])
-        fp = jnp.concatenate([zt, fint, zt], axis=0)
-        return (fp[:-1] - fp[1:]) / self.dsig3
+        ften[k-1] -= f/ds[k-1]; ften[k] += f/ds[k].
+
+        Operates on axis -3 so a stacked hydrometeor array
+        (nhyd, kz-1, iy, jx) broadcasts through unchanged."""
+        zt = jnp.zeros_like(fint[..., :1, :, :])
+        fp = jnp.concatenate([zt, fint, zt], axis=-3)
+        return (fp[..., :-1, :, :] - fp[..., 1:, :, :]) / self.dsig3
 
     def step(self, s: HydroState, bdy: BdyState, xt, dt,
              flags: StepFlags = StepFlags(), coszrs=None
@@ -274,7 +279,9 @@ class HydroCore:
         vmd = vd * self.msfd
         tdec = s.t_a * rpsa
         qvdec = jnp.maximum(s.qx_a[IQV] * rpsa, c.minqq)
-        qcdec = jnp.maximum(s.qx_a[IQC] * rpsa, 0.0)
+        # hydrometeors stacked on a leading species axis (nhyd, kz, iy, jx)
+        qhdec = jnp.maximum(s.qx_a[1:] * rpsa, 0.0)
+        qcdec = qhdec[0]
         tv = tdec * (1.0 + c.ep1 * qvdec)
 
         # -- compute_omega (mod_tendency.F90:1118-1225) ------------------
@@ -311,7 +318,8 @@ class HydroCore:
         vbx3 = dot2cross(vbd3)
         tb3 = s.t_b * rpsb
         qvb3 = jnp.maximum(s.qx_b[IQV] * rpsb, c.minqq)
-        qcb3 = jnp.maximum(s.qx_b[IQC] * rpsb, 0.0)
+        qhb3 = jnp.maximum(s.qx_b[1:] * rpsb, 0.0)
+        qcb3 = qhb3[0]
         tvb3 = tb3 * (1.0 + c.ep1 * qvb3 - qcb3)
         pb3 = (self.hsig3 * psb[None] + ptop) * 1000.0      # Pa half levels
         pf3 = (self.sig3 * psb[None] + ptop) * 1000.0       # Pa interfaces
@@ -333,8 +341,8 @@ class HydroCore:
         if coszrs is None:
             coszrs = jnp.zeros_like(psb)
         atms = dict(ubd3=ubd3, vbd3=vbd3, ubx3=ubx3, vbx3=vbx3, tb3=tb3,
-                    qvb3=qvb3, qcb3=qcb3, tvb3=tvb3, pb3=pb3, pf3=pf3,
-                    ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
+                    qvb3=qvb3, qcb3=qcb3, qhb3=qhb3, tvb3=tvb3, pb3=pb3,
+                    pf3=pf3, ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
                     za=za, zq=zq, dzq=dzq, psb=psb, psa=psa,
                     omega_pa=omega * 1000.0, qdot=qdot, rpsb=rpsb,
                     coszrs=coszrs)
@@ -419,17 +427,19 @@ class HydroCore:
         kuo_defer = (self.physics is not None
                      and getattr(self.physics, "icup", 0) == 1)
         qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
-        # qc: hadv + vadv4d ind=1
-        qcten = self._hadv_scalar(qcdec, uavg1, uavg2, vavg1, vavg2)
-        qca = s.qx_a[IQC]
-        fi = self.twt1[1:] * qca[1:] + self.twt2[1:] * qca[:-1]
+        # hydrometeors (qc..qs): hadv + vadv4d ind=1 with the upstream
+        # sign guard, batched over the species axis
+        qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1, vavg2)
+        qha = s.qx_a[1:]
+        fi = (self.twt1[1:] * qha[:, 1:]
+              + self.twt2[1:] * qha[:, :-1])
         thr = c.minqq * c.minqq * psa[None]
-        okup = qca[:-1] > thr      # svv>0 uses k-1
-        okdn = qca[1:] > thr
-        fqc = jnp.where(qdot[1:kz] > 0.0,
+        okup = qha[:, :-1] > thr      # svv>0 uses k-1
+        okdn = qha[:, 1:] > thr
+        fqh = jnp.where(qdot[1:kz] > 0.0,
                         jnp.where(okup, qdot[1:kz] * fi, 0.0),
                         jnp.where(okdn, qdot[1:kz] * fi, 0.0))
-        qcten = qcten + self._vadv_flux(fqc, qdot)
+        qhten = qhten + self._vadv_flux(fqh, qdot)
 
         # -- curvature: Coriolis (mod_tendency.F90:1822-1848) ------------
         udyn = udyn + self.coriol[None] * vc * self.m_di
@@ -462,14 +472,14 @@ class HydroCore:
         # -- physics (mod_tendency.F90:1682-1820) ------------------------
         tphy = jnp.zeros_like(tdyn)
         qvphy = jnp.zeros_like(qvten)
-        qcphy = jnp.zeros_like(qcten)
+        qhphy = jnp.zeros_like(qhten)
         uphy = jnp.zeros_like(udyn)
         vphy = jnp.zeros_like(vdyn)
         sfupd: Dict[str, jax.Array] = {}
         cldfra = jnp.zeros_like(tdyn)
         heatrt = s.heatrt
         if self.physics is not None:
-            (tphy, qvphy, qcphy, uphy, vphy, cldfra,
+            (tphy, qvphy, qhphy, uphy, vphy, cldfra,
              heatrt, sfupd) = self.physics(
                  self, atms, s, bdy, flags, dt,
                  dyn=dict(tdyn=tdyn, qvdyn=qvten, qvhadv=qvhadv,
@@ -482,32 +492,34 @@ class HydroCore:
         vdyn = vdyn + self._diffu_dot(vbd3, xkd)
         tdyn = tdyn + self._diffu_cross(tb3, xkc)
         qvten = qvten + self._diffu_cross(qvb3, xkc)
-        qcten = qcten + self._diffu_cross(qcb3, xkc)
+        qhten = qhten + self._diffu_cross(qhb3, xkc)
 
         # -- total tendencies + SUBEX condtq -----------------------------
         tten = tdyn + tphy
         qvten_t = qvten + qvphy
-        qcten_t = qcten + qcphy
+        qhten_t = qhten + qhphy
         if self.cfg.physics.ipptls == 1:
-            dtc, dqv, dqc = self._condtq(s, tten, qvten_t, qcten_t,
+            dtc, dqv, dqc = self._condtq(s, tten, qvten_t, qhten_t[0],
                                          psc, rpsc, cldfra, dt)
             tten = tten + dtc
             qvten_t = qvten_t + dqv
-            qcten_t = qcten_t + dqc
+            qhten_t = qhten_t.at[0].add(dqc)
         if self.iboudy == 4:
             # sponge on TOTAL tendencies (mod_tendency.F90:1481-1483,
-            # pc_total): ften ← w·ften + (1−w)·bt
+            # pc_total): ften ← w·ften + (1−w)·bt; hydrometeor boundary
+            # tendencies are zero
             wc3 = self.spwc[None]
             tten = wc3 * tten + (1.0 - wc3) * bdy.tt
             qvten_t = wc3 * qvten_t + (1.0 - wc3) * bdy.qvt
+            qhten_t = wc3 * qhten_t
 
         # -- forecast t, qx at tau+1 (mod_tendency.F90:380-420) ----------
         tc = s.t_b + dt * tten * self.m_ci
         qvc = s.qx_b[IQV] + dt * qvten_t * self.m_ci
-        qcc = s.qx_b[IQC] + dt * qcten_t * self.m_ci
+        qhc = s.qx_b[1:] + dt * qhten_t * self.m_ci
         # negative-water fix: qx<0 → 1% of |3×3 neighborhood| mean
         qvc = self._negfix(qvc)
-        qcc = self._negfix(qcc)
+        qhc = self._negfix(qhc)
 
         # -- PGF (mod_tendency.F90:1886-2120, ipgf=0) --------------------
         td = s.t_a * (1.0 + c.ep1 * qvdec)       # coupled p*Tv (beta_hyd=1)
@@ -585,14 +597,14 @@ class HydroCore:
                            jnp.maximum(qvc + (beta - 1.0) * dq,
                                        c.minqq * psb),
                            s.qx_a[IQV])
-        # qc: RAW gnu2 low=0 (filter_raw_4d)
-        dqcf = self.gnu2 * (qcc + s.qx_b[IQC] - 2.0 * s.qx_a[IQC])
-        qc_b_n = jnp.where(self.m_ci > 0.5,
-                           jnp.maximum(s.qx_a[IQC] + beta * dqcf, 0.0),
-                           s.qx_b[IQC])
-        qc_a_n = jnp.where(self.m_ci > 0.5,
-                           jnp.maximum(qcc + (beta - 1.0) * dqcf, 0.0),
-                           s.qx_a[IQC])
+        # qc..qs: RAW gnu2 low=0 (filter_raw_4d), batched over species
+        dqcf = self.gnu2 * (qhc + s.qx_b[1:] - 2.0 * s.qx_a[1:])
+        qh_b_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(s.qx_a[1:] + beta * dqcf, 0.0),
+                           s.qx_b[1:])
+        qh_a_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(qhc + (beta - 1.0) * dqcf, 0.0),
+                           s.qx_a[1:])
         # u, v forecast + RA filter
         ucf = s.u_b + dt * uten
         vcf = s.v_b + dt * vten
@@ -622,7 +634,7 @@ class HydroCore:
         psb_n = jnp.where(ecm, psa_n, psb_n)
         t_b_n = jnp.where(ecm, t_a_n, t_b_n)
         qv_b_n = jnp.where(ecm, qv_a_n, qv_b_n)
-        qc_b_n = jnp.where(ecm, qc_a_n, qc_b_n)
+        qh_b_n = jnp.where(ecm, qh_a_n, qh_b_n)
         u_b_n = jnp.where(edm, u_a_n, u_b_n)
         v_b_n = jnp.where(edm, v_a_n, v_b_n)
         psa_n = jnp.where(ecm, bdy.ps0 + xt2 * bdy.pst, psa_n)
@@ -636,13 +648,13 @@ class HydroCore:
         # always (bdyflow); qv switched when iboudy is 3 or 4
         ucx = dot2cross(u_a_n)
         vcx = dot2cross(v_a_n)
-        qc_a_n = self._flow_edges(qc_a_n, psa_n, ucx, vcx)
+        qh_a_n = self._flow_edges(qh_a_n, psa_n, ucx, vcx)
         if self.iboudy in (3, 4):
             qv_a_n = self._flow_edges(qv_a_n, psa_n, ucx, vcx,
                                       qext=qv_a_n)
 
-        qx_a = jnp.stack([qv_a_n, qc_a_n])
-        qx_b = jnp.stack([qv_b_n, qc_b_n])
+        qx_a = jnp.concatenate([qv_a_n[None], qh_a_n])
+        qx_b = jnp.concatenate([qv_b_n[None], qh_b_n])
 
         ns = s._replace(
             ps_a=psa_n, ps_b=psb_n, u_a=u_a_n, u_b=u_b_n,
@@ -694,7 +706,8 @@ class HydroCore:
         vmd = vd * self.msfd
         tdec = s.t_a * rpsa
         qvdec = jnp.maximum(s.qx_a[IQV] * rpsa, c.minqq)
-        qcdec = jnp.maximum(s.qx_a[IQC] * rpsa, 0.0)
+        qhdec = jnp.maximum(s.qx_a[1:] * rpsa, 0.0)
+        qcdec = qhdec[0]
         tv = tdec * (1.0 + c.ep1 * qvdec)
         ppdec = s.pp_a * rpsa[None]
         wdec = s.w_a * rpsa[None]
@@ -735,7 +748,8 @@ class HydroCore:
         vbx3 = dot2cross(vbd3)
         tb3 = s.t_b * rpsb
         qvb3 = jnp.maximum(s.qx_b[IQV] * rpsb, c.minqq)
-        qcb3 = jnp.maximum(s.qx_b[IQC] * rpsb, 0.0)
+        qhb3 = jnp.maximum(s.qx_b[1:] * rpsb, 0.0)
+        qcb3 = qhb3[0]
         ppb3 = s.pp_b * rpsb[None]
         pb3 = base.pr0 + ppb3
         pf3 = jnp.concatenate(
@@ -755,8 +769,8 @@ class HydroCore:
         if coszrs is None:
             coszrs = jnp.zeros_like(psb)
         atms = dict(ubd3=ubd3, vbd3=vbd3, ubx3=ubx3, vbx3=vbx3, tb3=tb3,
-                    qvb3=qvb3, qcb3=qcb3, tvb3=tvb3, pb3=pb3, pf3=pf3,
-                    ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
+                    qvb3=qvb3, qcb3=qcb3, qhb3=qhb3, tvb3=tvb3, pb3=pb3,
+                    pf3=pf3, ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
                     za=za, zq=zq, dzq=dzq, psb=psb, psa=psa,
                     omega_pa=omega, qdot=qdot, rpsb=rpsb, coszrs=coszrs)
 
@@ -811,14 +825,15 @@ class HydroCore:
         kuo_defer = (self.physics is not None
                      and getattr(self.physics, "icup", 0) == 1)
         qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
-        qcten = self._hadv_scalar(qcdec, uavg1, uavg2, vavg1, vavg2)
-        qca = s.qx_a[IQC]
-        fi = self.twt1[1:] * qca[1:] + self.twt2[1:] * qca[:-1]
+        qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1, vavg2)
+        qha = s.qx_a[1:]
+        fi = (self.twt1[1:] * qha[:, 1:]
+              + self.twt2[1:] * qha[:, :-1])
         thr = c.minqq * c.minqq * psa[None]
-        fqc = jnp.where(qdot[1:kz] > 0.0,
-                        jnp.where(qca[:-1] > thr, qdot[1:kz] * fi, 0.0),
-                        jnp.where(qca[1:] > thr, qdot[1:kz] * fi, 0.0))
-        qcten = qcten + self._vadv_flux(fqc, qdot)
+        fqh = jnp.where(qdot[1:kz] > 0.0,
+                        jnp.where(qha[:, :-1] > thr, qdot[1:kz] * fi, 0.0),
+                        jnp.where(qha[:, 1:] > thr, qdot[1:kz] * fi, 0.0))
+        qhten = qhten + self._vadv_flux(fqh, qdot)
         # pp advection (hadv ind=0 on decoupled + vadv ind=0 on coupled)
         ppdyn = self._hadv_scalar(ppdec, uavg1, uavg2, vavg1, vavg2)
         fpp = qdot[1:kz] * (self.twt1[1:] * s.pp_a[1:]
@@ -861,7 +876,7 @@ class HydroCore:
                            + ppdec * div) / (rho1 * cpm)) * self.m_ci
         ppdyn = ppdyn + ppdec * div * self.m_ci
         qvten = qvten + qvdec * div * self.m_ci
-        qcten = qcten + qcdec * div * self.m_ci
+        qhten = qhten + qhdec * div * self.m_ci
         # w buoyancy terms (:1620-1660)
         rofac_i = (self.dsig3[:-1] * base.rho0[1:]
                    + self.dsig3[1:] * base.rho0[:-1]) \
@@ -897,14 +912,14 @@ class HydroCore:
         # physics --------------------------------------------------------
         tphy = jnp.zeros_like(tdyn)
         qvphy = jnp.zeros_like(qvten)
-        qcphy = jnp.zeros_like(qcten)
+        qhphy = jnp.zeros_like(qhten)
         uphy = jnp.zeros_like(udyn)
         vphy = jnp.zeros_like(vdyn)
         sfupd: Dict[str, jax.Array] = {}
         cldfra = jnp.zeros_like(tdyn)
         heatrt = s.heatrt
         if self.physics is not None:
-            (tphy, qvphy, qcphy, uphy, vphy, cldfra,
+            (tphy, qvphy, qhphy, uphy, vphy, cldfra,
              heatrt, sfupd) = self.physics(
                  self, atms, s, bdy, flags, dt,
                  dyn=dict(tdyn=tdyn, qvdyn=qvten, qvhadv=qvhadv,
@@ -919,25 +934,25 @@ class HydroCore:
         vdyn = vdyn + self._diffu_dot(vbd3, xkd)
         tdyn = tdyn + self._diffu_cross(tb3, xkc)
         qvten = qvten + self._diffu_cross(qvb3, xkc)
-        qcten = qcten + self._diffu_cross(qcb3, xkc)
+        qhten = qhten + self._diffu_cross(qhb3, xkc)
         ppdyn = ppdyn + self._diffu_cross(ppb3, xkc)
         wdiff = self._diffu_cross(wb3dec, xkcf)
         wdyn = wdyn + wdiff
 
         tten = tdyn + tphy
         qvten_t = qvten + qvphy
-        qcten_t = qcten + qcphy
+        qhten_t = qhten + qhphy
         ppten_t = ppdyn + ppphy
         wten_t = wdyn
         uten = udyn + uphy
         vten = vdyn + vphy
 
         if self.cfg.physics.ipptls == 1:
-            dtc, dqv, dqc = self._condtq(s, tten, qvten_t, qcten_t,
+            dtc, dqv, dqc = self._condtq(s, tten, qvten_t, qhten_t[0],
                                          psb, rpsb, cldfra, dt)
             tten = tten + dtc
             qvten_t = qvten_t + dqv
-            qcten_t = qcten_t + dqc
+            qhten_t = qhten_t.at[0].add(dqc)
         if self.iboudy == 4:
             # sponge on total tendencies (mod_tendency.F90:1481-1499);
             # pp/w boundary fields are 0 → blend toward 0 tendency
@@ -945,6 +960,7 @@ class HydroCore:
             wd3 = self.spwd[None]
             tten = wc3 * tten + (1.0 - wc3) * bdy.tt
             qvten_t = wc3 * qvten_t + (1.0 - wc3) * bdy.qvt
+            qhten_t = wc3 * qhten_t
             uten = wd3 * uten + (1.0 - wd3) * bdy.ut
             vten = wd3 * vten + (1.0 - wd3) * bdy.vt
             ppten_t = wc3 * ppten_t
@@ -983,9 +999,9 @@ class HydroCore:
         # ordering is approximated: filter first, sound adjusts both)
         tc = s.t_b + dt * tten * self.m_ci
         qvc = s.qx_b[IQV] + dt * qvten_t * self.m_ci
-        qcc = s.qx_b[IQC] + dt * qcten_t * self.m_ci
+        qhc = s.qx_b[1:] + dt * qhten_t * self.m_ci
         qvc = self._negfix(qvc)
-        qcc = self._negfix(qcc)
+        qhc = self._negfix(qhc)
         dtf = self.gnu1 * (tc + s.t_b - 2.0 * s.t_a)
         t_b_n = jnp.where(self.m_ci > 0.5, s.t_a + dtf, s.t_b)
         t_a_n = jnp.where(self.m_ci > 0.5, tc, s.t_a)
@@ -997,13 +1013,13 @@ class HydroCore:
         qv_a_n = jnp.where(self.m_ci > 0.5,
                            jnp.maximum(qvc + (beta - 1.0) * dq,
                                        c.minqq * psb), s.qx_a[IQV])
-        dqcf = self.gnu2 * (qcc + s.qx_b[IQC] - 2.0 * s.qx_a[IQC])
-        qc_b_n = jnp.where(self.m_ci > 0.5,
-                           jnp.maximum(s.qx_a[IQC] + beta * dqcf, 0.0),
-                           s.qx_b[IQC])
-        qc_a_n = jnp.where(self.m_ci > 0.5,
-                           jnp.maximum(qcc + (beta - 1.0) * dqcf, 0.0),
-                           s.qx_a[IQC])
+        dqcf = self.gnu2 * (qhc + s.qx_b[1:] - 2.0 * s.qx_a[1:])
+        qh_b_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(s.qx_a[1:] + beta * dqcf, 0.0),
+                           s.qx_b[1:])
+        qh_a_n = jnp.where(self.m_ci > 0.5,
+                           jnp.maximum(qhc + (beta - 1.0) * dqcf, 0.0),
+                           s.qx_a[1:])
 
         # acoustic solver → new u/v/pp/w + dp' T corrections -------------
         from .sound import sound as _snd
@@ -1030,7 +1046,7 @@ class HydroCore:
         edm = self.e_dall > 0.5
         t_b_n = jnp.where(ecm, t_a_n, t_b_n)
         qv_b_n = jnp.where(ecm, qv_a_n, qv_b_n)
-        qc_b_n = jnp.where(ecm, qc_a_n, qc_b_n)
+        qh_b_n = jnp.where(ecm, qh_a_n, qh_b_n)
         u_b_n = jnp.where(edm, u_a_n, u_b_n)
         v_b_n = jnp.where(edm, v_a_n, v_b_n)
         pp_b_n = jnp.where(ecm, pp_a_n, pp_b_n)
@@ -1042,13 +1058,13 @@ class HydroCore:
         # inflow/outflow edges (mod_bdycod.F90:1809+)
         ucx = dot2cross(u_a_n)
         vcx = dot2cross(v_a_n)
-        qc_a_n = self._flow_edges(qc_a_n, psa, ucx, vcx)
+        qh_a_n = self._flow_edges(qh_a_n, psa, ucx, vcx)
         if self.iboudy in (3, 4):
             qv_a_n = self._flow_edges(qv_a_n, psa, ucx, vcx,
                                       qext=qv_a_n)
 
-        qx_a = jnp.stack([qv_a_n, qc_a_n])
-        qx_b = jnp.stack([qv_b_n, qc_b_n])
+        qx_a = jnp.concatenate([qv_a_n[None], qh_a_n])
+        qx_b = jnp.concatenate([qv_b_n[None], qh_b_n])
         ns = s._replace(
             u_a=u_a_n, u_b=u_b_n, v_a=v_a_n, v_b=v_b_n,
             t_a=t_a_n, t_b=t_b_n, qx_a=qx_a, qx_b=qx_b,
@@ -1068,32 +1084,32 @@ class HydroCore:
         hydrometeors always): inflow edges take the external value
         (or 0 for hydrometeors, qext=None), outflow edges extrapolate
         the decoupled interior value recoupled with the edge p*.
-        ucx/vcx are 4-dot cross-averaged winds = windavg/4."""
-        kz, iy, jx = q.shape
+        ucx/vcx are 4-dot cross-averaged winds = windavg/4.
+
+        q may carry leading batch axes (species), ellipsis-indexed."""
+        iy, jx = q.shape[-2], q.shape[-1]
         rps = 1.0 / ps
-        qdec = q * rps[None]
-        zero = jnp.zeros((kz, iy), q.dtype)
-        zerox = jnp.zeros((kz, jx), q.dtype)
+        qdec = q * rps
         # west: cross col 0, interior col 1 (wue/wui windavg > 0 inflow)
-        ext = qext[:, :, 0] if qext is not None else zero
+        ext = qext[..., 0] if qext is not None else 0.0
         val = jnp.where(ucx[:, :, 0] > 0.0, ext,
-                        qdec[:, :, 1] * ps[None, :, 0])
-        q = q.at[:, :, 0].set(val)
+                        qdec[..., 1] * ps[:, 0])
+        q = q.at[..., 0].set(val)
         # east: cross col jx-2, interior jx-3 (inflow if u < 0)
-        ext = qext[:, :, jx - 2] if qext is not None else zero
+        ext = qext[..., jx - 2] if qext is not None else 0.0
         val = jnp.where(ucx[:, :, jx - 2] < 0.0, ext,
-                        qdec[:, :, jx - 3] * ps[None, :, jx - 2])
-        q = q.at[:, :, jx - 2].set(val)
+                        qdec[..., jx - 3] * ps[:, jx - 2])
+        q = q.at[..., jx - 2].set(val)
         # south: cross row 0, interior 1 (inflow if v > 0)
-        ext = qext[:, 0, :] if qext is not None else zerox
+        ext = qext[..., 0, :] if qext is not None else 0.0
         val = jnp.where(vcx[:, 0, :] > 0.0, ext,
-                        qdec[:, 1, :] * ps[None, 0, :])
-        q = q.at[:, 0, :].set(val)
+                        qdec[..., 1, :] * ps[0, :])
+        q = q.at[..., 0, :].set(val)
         # north: cross row iy-2, interior iy-3 (inflow if v < 0)
-        ext = qext[:, iy - 2, :] if qext is not None else zerox
+        ext = qext[..., iy - 2, :] if qext is not None else 0.0
         val = jnp.where(vcx[:, iy - 2, :] < 0.0, ext,
-                        qdec[:, iy - 3, :] * ps[None, iy - 2, :])
-        q = q.at[:, iy - 2, :].set(val)
+                        qdec[..., iy - 3, :] * ps[iy - 2, :])
+        q = q.at[..., iy - 2, :].set(val)
         return q
 
     # ------------------------------------------------------------------

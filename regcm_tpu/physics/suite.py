@@ -73,6 +73,10 @@ class PhysicsSuite:
         tphy = jnp.zeros_like(tb3)
         qvphy = jnp.zeros_like(tb3)
         qcphy = jnp.zeros_like(tb3)
+        # extra hydrometeor tendencies (5-species schemes, nqx=5)
+        qrphy = jnp.zeros_like(tb3)
+        qiphy = jnp.zeros_like(tb3)
+        qsphy = jnp.zeros_like(tb3)
         uphy = jnp.zeros_like(s.u_a)
         vphy = jnp.zeros_like(s.v_a)
         sfupd: Dict[str, jax.Array] = {}
@@ -218,6 +222,29 @@ class PhysicsSuite:
             qvphy = qvphy + out.qvten * m_ci
             qcphy = qcphy + out.qcten * m_ci
             precip = out.precip * m_ci
+            sfupd["rainnc"] = s.rainnc + precip * core.dtsec
+        elif self.cfg.physics.ipptls == 3:
+            # WSM5 (Main/mod_micro_interface.F90 microscheme → wsm5,
+            # Main/microlib/mod_micro_wsm5.F90:214). Tendencies are
+            # (new−old)·p*/dt exactly like ptfac coupling (wsm5:296-307).
+            from .micro.wsm5 import wsm5
+            iy, jx = tb3.shape[1], tb3.shape[2]
+            ncol = iy * jx
+            colb = lambda a: jnp.flip(a, 0).reshape(kz, ncol).T
+            uncolb = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), 0)
+            qhb3 = atms["qhb3"]
+            out = wsm5(colb(tb3), colb(qvb3), colb(qhb3[0]),
+                       colb(qhb3[2]), colb(qhb3[1]), colb(qhb3[3]),
+                       colb(pb3), colb(dzq), colb(rho),
+                       colb(atms["qsb3"]), colb(rh), core.dtsec)
+            pfac = psb[None] / core.dtsec * m_ci
+            tphy = tphy + (uncolb(out.t) - tb3) * pfac
+            qvphy = qvphy + (uncolb(out.qv) - qvb3) * pfac
+            qcphy = qcphy + (uncolb(out.qc) - qhb3[0]) * pfac
+            qrphy = qrphy + (uncolb(out.qr) - qhb3[1]) * pfac
+            qiphy = qiphy + (uncolb(out.qi) - qhb3[2]) * pfac
+            qsphy = qsphy + (uncolb(out.qs) - qhb3[3]) * pfac
+            precip = out.rain.reshape(iy, jx) * m_ci
             sfupd["rainnc"] = s.rainnc + precip * core.dtsec
         else:
             precip = jnp.zeros_like(psb)
@@ -378,4 +405,9 @@ class PhysicsSuite:
             qvphy = qvphy + unflip(out.outqs) * psb[None] * m_ci
 
         cldfra_out = cldfra
-        return (tphy, qvphy, qcphy, uphy, vphy, cldfra_out, heatrt, sfupd)
+        # stack hydrometeor tendencies on the species axis (qc[,qr,qi,qs])
+        if core.nqx == 5:
+            qhphy = jnp.stack([qcphy, qrphy, qiphy, qsphy])
+        else:
+            qhphy = qcphy[None]
+        return (tphy, qvphy, qhphy, uphy, vphy, cldfra_out, heatrt, sfupd)

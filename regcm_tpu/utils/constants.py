@@ -141,3 +141,6 @@ twopi = 2.0 * _math.pi
 halfpi = 0.5 * _math.pi
 degrad = _math.pi / 180.0            # degrees → radians
 raddeg = 180.0 / _math.pi
+
+# standard air density (Share/mod_constants.F90:234)
+stdrho = 1.28
