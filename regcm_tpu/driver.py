@@ -102,6 +102,10 @@ class Model:
                  dtype=jnp.float64, physics=None,
                  initial_state: Optional[HydroState] = None,
                  bdy: Optional[BdyState] = None):
+        if cfg.core.idynamic not in (1, 2, 3):
+            raise ValueError(
+                f"coreparam idynamic={cfg.core.idynamic} is invalid "
+                "(1=hydrostatic, 2=MM5-NH, 3=MOLOCH)")
         self.cfg = cfg
         self.grid = grid or build_grid(cfg)
         if physics is False:        # explicit opt-out (dynamics only)

@@ -182,6 +182,13 @@ class HydroCore:
     # phase implementations (all pure; arrays (kz, iy, jx) or (iy, jx))
     # ------------------------------------------------------------------
 
+    def couple_uvten(self, utenx, vtenx, cpl):
+        """Couple uncoupled cross-grid wind tendencies to the B-grid dot
+        points ×p*_dot (uvcross2dot path of cu_interface :375-381)."""
+        psd = cross2dot(cpl)
+        return (cross2dot(utenx) * psd[None] * self.m_di,
+                cross2dot(vtenx) * psd[None] * self.m_di)
+
     def _advection_uv(self, ua, va, ud, vd, uc, vc, svv):
         """hadvuv + vadvuv (Main/mod_advection.F90:124-305).
 
@@ -425,7 +432,7 @@ class HydroCore:
                         ** self.qcon[1:], 0.0)
         qv_vadv = self._vadv_flux(qdot[1:kz] * fgq, qdot)
         kuo_defer = (self.physics is not None
-                     and getattr(self.physics, "icup", 0) == 1)
+                     and getattr(self.physics, "kuo_defer", False))
         qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
         # hydrometeors (qc..qs): hadv + vadv4d ind=1 with the upstream
         # sign guard, batched over the species axis
@@ -823,7 +830,7 @@ class HydroCore:
                         ** self.qcon[1:], 0.0)
         qv_vadv = self._vadv_flux(qdot[1:kz] * fgq, qdot)
         kuo_defer = (self.physics is not None
-                     and getattr(self.physics, "icup", 0) == 1)
+                     and getattr(self.physics, "kuo_defer", False))
         qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
         qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1, vavg2)
         qha = s.qx_a[1:]

@@ -23,19 +23,75 @@ from .surface.fluxes import surface_fluxes
 from ..dynamics.stencil import cross2dot
 
 
+# Selector values this framework implements. Config-time validation
+# mirrors the reference's cross-check-and-die behavior in ``param``
+# (Main/mod_params.F90) — an unimplemented selector must be a hard error
+# at model build, never a silent no-op.
+SUPPORTED = dict(
+    icup={0, 1, 2, 3, 4},          # Kuo/Grell/BM/Emanuel (5/6 planned)
+    ibltyp={0, 1, 3},              # Holtslag / GFS (UW TCM/MYJ planned)
+    ipptls={0, 1, 3},              # SUBEX / WSM5 (nogtom planned)
+    iocnflx={1, 2, 3},             # BATS / Zeng / COARE
+    icldfrac={0, 1, 2, 3, 4, 5, 6},
+    irrtm={0},                     # CCM3 only (RRTMG later round)
+    iboudy={0, 1, 2, 3, 4, 5},
+)
+
+
+def validate_physics(cfg):
+    """Raise ValueError for any selector the framework does not implement
+    (the reference cross-validates namelists in mod_params and calls
+    ``fatal``; silent fallback is the worst failure mode)."""
+    p = cfg.physics
+    checks = [
+        ("icup_lnd", abs(p.icup_lnd), SUPPORTED["icup"]),
+        ("icup_ocn", abs(p.icup_ocn), SUPPORTED["icup"]),
+        ("ibltyp", p.ibltyp, SUPPORTED["ibltyp"]),
+        ("ipptls", p.ipptls, SUPPORTED["ipptls"]),
+        ("iocnflx", p.iocnflx, SUPPORTED["iocnflx"]),
+        ("icldfrac", p.icldfrac, SUPPORTED["icldfrac"]),
+        ("irrtm", p.irrtm, SUPPORTED["irrtm"]),
+        ("iboudy", p.iboudy, SUPPORTED["iboudy"]),
+    ]
+    for name, val, ok in checks:
+        if val not in ok:
+            raise ValueError(
+                f"physicsparam {name}={val} is not implemented in "
+                f"regcm_tpu (supported: {sorted(ok)}). Refusing to run "
+                f"with a silently-disabled scheme.")
+    if p.ichem != 0:
+        raise ValueError("ichem=1 (interactive chemistry) is not yet "
+                         "implemented in regcm_tpu")
+
+
 class PhysicsSuite:
     """Callable plugged into HydroCore (core.physics)."""
 
     def __init__(self, cfg, grid):
+        validate_physics(cfg)
         self.cfg = cfg
         self.grid = grid
         self.ricr = 0.25      # ricr_lnd/ocn default (mod_params.F90:485)
-        self.icup = cfg.physics.icup_lnd
+        # land/ocean cumulus split (icup_lnd/icup_ocn,
+        # Main/mpplib/mod_runparams.F90:109-153): when they differ each
+        # scheme runs on the full dense grid and the tendencies are
+        # blended by the land mask (TPU-idiomatic masked batching).
+        self.icup_lnd = max(cfg.physics.icup_lnd, 0)
+        self.icup_ocn = max(cfg.physics.icup_ocn, 0)
+        self.idynamic = cfg.core.idynamic
+        # the dycore defers qv vertical advection to the Kuo scheme
+        # (mod_tendency.F90:1371-1373); a mixed Kuo/other configuration
+        # would leave the non-Kuo columns without vadv — refuse it.
+        self.kuo_defer = 1 in (self.icup_lnd, self.icup_ocn)
+        if self.kuo_defer and self.icup_lnd != self.icup_ocn:
+            raise ValueError(
+                "icup=1 (Kuo) cannot be mixed with a different scheme on "
+                "the other surface type (deferred qv vadv contract)")
         # shallow convection runs everywhere when any icup < 0
         # (mod_tendency.F90:316, shallcu has no land/ocean gating)
         self.shallow = (cfg.physics.icup_lnd < 0
                         or cfg.physics.icup_ocn < 0)
-        if cfg.physics.icup_lnd == 1:
+        if 1 in (self.icup_lnd, self.icup_ocn):
             from .cumulus.kuo import build_kuo_tables
             import numpy as _np
             tw, vq = build_kuo_tables(grid.sigma, grid.hsigma,
@@ -55,6 +111,160 @@ class PhysicsSuite:
             cfg.physics.scenario, float(year),
             int(cfg.physics.extras.get("ghg_year_const", 1950)))
 
+    # -- deep cumulus dispatch (cu_interface :335-369 + the icup_lnd/ocn
+    #    split of Main/mpplib/mod_runparams.F90:109-153) -----------------
+    def _cumulus(self, core, atms, s, flags, dyn, dt):
+        """Run the configured deep scheme(s) dense over the grid and
+        blend land/ocean tendencies by mask. All outputs are uncoupled
+        cross-grid fields (K/s, kg/kg/s, m/s²)."""
+        tb3 = atms["tb3"]
+        zero3 = jnp.zeros_like(tb3)
+        zero2 = jnp.zeros_like(atms["psb"])
+        empty = dict(tten=zero3, qvten=zero3, utenx=zero3, vtenx=zero3,
+                     prate=zero2, has_precip=False,
+                     cldfra=zero3, cldlwc=zero3, state={})
+        if self.kuo_defer and dyn is not None:
+            # non-convecting columns still need the deferred qv vadv
+            # term back (mod_cu_kuo.F90:270-282), every step
+            rcpl = 1.0 / atms.get("cpl", atms["psb"])
+            empty["qvten"] = dyn["qv_vadv"] * rcpl[None]
+        if not flags.do_cum or (self.icup_lnd == 0 and self.icup_ocn == 0):
+            return empty
+        out_l = self._cumulus_one(self.icup_lnd, core, atms, s, dyn, dt) \
+            if self.icup_lnd else empty
+        if self.icup_ocn == self.icup_lnd:
+            return out_l
+        out_o = self._cumulus_one(self.icup_ocn, core, atms, s, dyn, dt) \
+            if self.icup_ocn else empty
+        lm2 = core.grid_lndocn > 0.5
+        lm3 = lm2[None]
+        b3 = lambda k: jnp.where(lm3, out_l[k], out_o[k])
+        cur = dict(cbmf=s.cbmf, cldefi=s.cldefi)
+        state = {}
+        for k in set(out_l["state"]) | set(out_o["state"]):
+            state[k] = jnp.where(lm2, out_l["state"].get(k, cur[k]),
+                                 out_o["state"].get(k, cur[k]))
+        return dict(tten=b3("tten"), qvten=b3("qvten"),
+                    utenx=b3("utenx"), vtenx=b3("vtenx"),
+                    prate=jnp.where(lm2, out_l["prate"], out_o["prate"]),
+                    has_precip=(out_l["has_precip"]
+                                or out_o["has_precip"]),
+                    cldfra=b3("cldfra"), cldlwc=b3("cldlwc"), state=state)
+
+    def _cumulus_one(self, icup, core, atms, s, dyn, dt):
+        """One deep-convection scheme on the full dense grid."""
+        kz = core.kz
+        tb3 = jnp.maximum(atms["tb3"], 150.0)
+        qvb3 = atms["qvb3"]
+        pb3 = atms["pb3"]
+        pf3 = atms["pf3"]
+        rho = atms["rhob3"]
+        psb = atms["psb"]
+        cpl = atms.get("cpl", psb)
+        rcpl = (1.0 / cpl)[None]
+        zero3 = jnp.zeros_like(tb3)
+        iy, jx = tb3.shape[1], tb3.shape[2]
+        ncol = iy * jx
+        flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
+        unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
+        res = dict(utenx=zero3, vtenx=zero3, has_precip=True,
+                   cldfra=zero3, cldlwc=zero3, state={})
+
+        if icup == 1:
+            # Kuo (cupara, Main/cumlib/mod_cu_kuo.F90:75): moisture-
+            # convergence triggered; convecting columns get the Kuo
+            # tendencies, the rest the deferred plain qv vadv term.
+            from .cumulus.kuo import kuo
+            tw, vq = self._kuo_tabs
+            hs = self.grid.hsigma
+            import numpy as _np
+            k700 = int(_np.argmax(hs * 95.0 + 5.0 > 70.0)) + 1
+            out = kuo(tb3, qvb3, pb3 * 1e-3, psb + core.ptop,
+                      dyn["qvhadv"],
+                      jnp.asarray(self.grid.sigma, tb3.dtype),
+                      jnp.asarray(self.grid.hsigma, tb3.dtype),
+                      jnp.asarray(self.grid.dsigma, tb3.dtype),
+                      tw, vq, core.ptop, k700)
+            am = out.active[None]
+            res.update(
+                tten=out.tten,
+                qvten=jnp.where(am, out.qvten,
+                                dyn["qv_vadv"] * rcpl),
+                prate=out.prate)
+        elif icup == 2:
+            # Grell (FC80 closure; AS74 staged via forced profile)
+            from .cumulus.grell import cup as grell_cup
+            tn3 = tb3 + (dyn["tdyn"] * rcpl * dt
+                         if dyn is not None else 0.0)
+            qo3 = qvb3 + (dyn["qvdyn"] * rcpl * dt
+                          if dyn is not None else 0.0)
+            out = grell_cup(
+                flipc(tb3), flipc(qvb3), flipc(tn3), flipc(qo3),
+                flipc(pb3) * 0.01,
+                atms["ps2d"].reshape(ncol) * 0.01,
+                (core.ht / c.egrav).reshape(ncol),
+                flipc(jnp.sqrt(atms["ubx3"] ** 2 + atms["vbx3"] ** 2)),
+                dt, igcc=self.cfg.physics.igcc)
+            cldfra = unflip(out.cldfrc)
+            res.update(
+                tten=unflip(out.outt), qvten=unflip(out.outq),
+                prate=out.pratec.reshape(iy, jx),
+                cldfra=cldfra,
+                cldlwc=jnp.where(cldfra > 0.0, 0.3e-3 * 1000.0 * rho,
+                                 0.0))
+        elif icup == 3:
+            # Betts-Miller (bmpara, Main/cumlib/mod_cu_bm.F90:134);
+            # arrays already top-down, no flip.
+            from .cumulus.betts_miller import (bmpara,
+                                               model_cumulus_cloud,
+                                               clwfromt)
+            colc = lambda a: a.reshape(kz, ncol).T
+            za = atms["za"]
+            out = bmpara(colc(tb3), colc(qvb3), colc(pb3),
+                         pf3.reshape(kz + 1, ncol).T,
+                         colc(za + (core.ht / c.egrav)[None]),
+                         atms["ps2d"].reshape(ncol),
+                         core.grid_lndocn.reshape(ncol),
+                         s.cldefi.reshape(ncol), dt)
+            uncol = lambda a: a.T.reshape(kz, iy, jx)
+            cldfra = uncol(model_cumulus_cloud(
+                out.kbot, out.ktop, kz, float(self.cfg.geo.ds)))
+            res.update(
+                tten=uncol(out.tten), qvten=uncol(out.qten),
+                prate=out.prate.reshape(iy, jx),
+                cldfra=cldfra,
+                cldlwc=jnp.where(cldfra > 0.001, clwfromt(tb3), 0.0),
+                state=dict(cldefi=out.cldefi.reshape(iy, jx)))
+        elif icup == 4:
+            # Emanuel (cupemandrv, Main/cumlib/mod_cu_em.F90:107)
+            qmix = qvb3
+            qspec = qmix / (1.0 + qmix)
+            qs_spec = atms["qsb3"] / (1.0 + atms["qsb3"])
+            phflip = jnp.flip(pf3, axis=0).reshape(kz + 1, ncol).T
+            out = cupeman(
+                flipc(tb3), flipc(qspec), flipc(qs_spec),
+                flipc(atms["ubx3"]), flipc(atms["vbx3"]),
+                flipc(pb3) * 0.01, phflip * 0.01,
+                s.cbmf.reshape(ncol), dt,
+                jnp.where(core.grid_lndocn.reshape(ncol) > 0.5,
+                          ELCRIT_LND, ELCRIT_OCN),
+                jnp.full((ncol,), EPMAX, tb3.dtype),
+                max(self.minorig - 1, 1))   # 0-based origin level
+            qspec2 = flipc(qspec)
+            cldfra = unflip(out.cldfra)
+            res.update(
+                tten=unflip(out.ft),
+                qvten=unflip(out.fq / (1.0 - qspec2) ** 2),
+                utenx=unflip(out.fu), vtenx=unflip(out.fv),
+                prate=out.precip.reshape(iy, jx),
+                cldfra=cldfra,
+                cldlwc=jnp.where(cldfra > 0.0, 0.3e-3 * 1000.0 * rho,
+                                 0.0),
+                state=dict(cbmf=out.cbmf.reshape(iy, jx) * core.m_ci))
+        else:
+            raise ValueError(f"icup={icup} not implemented")
+        return res
+
     def __call__(self, core, atms, s: HydroState, bdy: BdyState,
                  flags: StepFlags, dt, dyn=None):
         kz = core.kz
@@ -70,6 +280,11 @@ class PhysicsSuite:
         dzq = atms["dzq"]
         m_ci = core.m_ci
 
+        # tendency coupling factor: p* for the sigma-p cores (coupled
+        # prognostics), 1 for MOLOCH (uncoupled; see mod_moloch.F90:1546
+        # "t = t + dtsec*tten" vs the ×psb coupling in cu_interface)
+        cpl = atms.get("cpl", psb)
+
         tphy = jnp.zeros_like(tb3)
         qvphy = jnp.zeros_like(tb3)
         qcphy = jnp.zeros_like(tb3)
@@ -77,135 +292,26 @@ class PhysicsSuite:
         qrphy = jnp.zeros_like(tb3)
         qiphy = jnp.zeros_like(tb3)
         qsphy = jnp.zeros_like(tb3)
+        # cross-grid uncoupled wind tendencies, staggered+coupled once at
+        # the end (uvcross2dot for B-grid cores / tenxtouvten for MOLOCH)
+        utenx = jnp.zeros_like(tb3)
+        vtenx = jnp.zeros_like(tb3)
         uphy = jnp.zeros_like(s.u_a)
         vphy = jnp.zeros_like(s.v_a)
         sfupd: Dict[str, jax.Array] = {}
 
         # -- cumulus (mod_tendency.F90:1686; cu_interface :251-535) ------
-        cldfra_cum = jnp.zeros_like(tb3)
-        cldlwc_cum = jnp.zeros_like(tb3)
-        if self.icup == 1 and dyn is not None:
-            # Kuo (cupara): moisture-convergence triggered. The dycore
-            # deferred qv vadv (mod_tendency.F90:1371-1373): convecting
-            # columns get the Kuo tendencies, the rest the plain vadv
-            # term (mod_cu_kuo.F90:270-282) — applied every step.
-            qv_vadv = dyn["qv_vadv"]
-            if flags.do_cum:
-                from .cumulus.kuo import kuo
-                tw, vq = self._kuo_tabs
-                # k700: first 1-based level with p > 700 hPa
-                hs = self.grid.hsigma
-                import numpy as _np
-                k700 = int(_np.argmax(hs * 95.0 + 5.0 > 70.0)) + 1
-                # sca uses the COUPLED hadv-only tendency (cb kg/kg/s,
-                # mod_cu_kuo.F90:96-106 "only horizontal advection")
-                out = kuo(tb3, qvb3, pb3 * 1e-3, psb + core.ptop,
-                          dyn["qvhadv"],
-                          jnp.asarray(self.grid.sigma, tb3.dtype),
-                          jnp.asarray(self.grid.hsigma, tb3.dtype),
-                          jnp.asarray(self.grid.dsigma, tb3.dtype),
-                          tw, vq, core.ptop, k700)
-                am = out.active[None]
-                tphy = tphy + out.tten * psb[None] * m_ci
-                qvphy = qvphy + jnp.where(
-                    am, out.qvten * psb[None], qv_vadv) * m_ci
-                prate = out.prate * m_ci
-                sfupd["rainc"] = s.rainc + prate * core.dtsec
-            else:
-                qvphy = qvphy + qv_vadv * m_ci
-        elif self.icup == 2 and flags.do_cum:
-            # Grell (FC80 closure; the large-scale-forced state uses the
-            # unforced profile here — AS74 closure needs the dynamic
-            # tendencies staged like m2c%tten, a later-round refinement)
-            from .cumulus.grell import cup as grell_cup
-            iy, jx = tb3.shape[1], tb3.shape[2]
-            ncol = iy * jx
-            flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
-            tn3 = tb3 + (dyn["tdyn"] * (1.0 / psb)[None] * dt
-                         if dyn is not None else 0.0)
-            qo3 = qvb3 + (dyn["qvdyn"] * (1.0 / psb)[None] * dt
-                          if dyn is not None else 0.0)
-            out = grell_cup(
-                flipc(tb3), flipc(qvb3), flipc(tn3), flipc(qo3),
-                flipc(pb3) * 0.01,
-                atms["ps2d"].reshape(ncol) * 0.01,
-                (core.ht / c.egrav).reshape(ncol),
-                flipc(jnp.sqrt(atms["ubx3"] ** 2 + atms["vbx3"] ** 2)),
-                dt, igcc=self.cfg.physics.igcc)
-            unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
-            tphy = tphy + unflip(out.outt) * psb[None] * m_ci
-            qvphy = qvphy + unflip(out.outq) * psb[None] * m_ci
-            prate = out.pratec.reshape(iy, jx) * m_ci
-            sfupd["rainc"] = s.rainc + prate * core.dtsec
-            cldfra_cum = unflip(out.cldfrc)
-            cldlwc_cum = jnp.where(cldfra_cum > 0.0,
-                                   0.3e-3 * 1000.0 * rho, 0.0)
-        elif self.icup == 3 and flags.do_cum:
-            # Betts-Miller (bmpara, Main/cumlib/mod_cu_bm.F90:134).
-            # Arrays are already top-down; no flip needed.
-            from .cumulus.betts_miller import (bmpara,
-                                               model_cumulus_cloud,
-                                               clwfromt)
-            iy, jx = tb3.shape[1], tb3.shape[2]
-            ncol = iy * jx
-            colc = lambda a: a.reshape(kz, ncol).T
-            out = bmpara(colc(tb3), colc(qvb3), colc(pb3),
-                         pf3.reshape(kz + 1, ncol).T,
-                         colc(za + (core.ht / c.egrav)[None]),
-                         atms["ps2d"].reshape(ncol),
-                         core.grid_lndocn.reshape(ncol),
-                         s.cldefi.reshape(ncol), dt)
-            uncol = lambda a: a.T.reshape(kz, iy, jx)
-            tphy = tphy + uncol(out.tten) * psb[None] * m_ci
-            qvphy = qvphy + uncol(out.qten) * psb[None] * m_ci
-            prate = out.prate.reshape(iy, jx) * m_ci
-            sfupd["rainc"] = s.rainc + prate * core.dtsec
-            sfupd["cldefi"] = out.cldefi.reshape(iy, jx)
-            # cucloud via model_cumulus_cloud (icup==3 path,
-            # mod_cu_interface.F90:229)
-            cldfra_cum = uncol(model_cumulus_cloud(
-                out.kbot, out.ktop, kz, float(self.cfg.geo.ds)))
-            cldlwc_cum = jnp.where(cldfra_cum > 0.001,
-                                   clwfromt(tb3), 0.0)
-        elif self.icup == 4 and flags.do_cum:
-            iy, jx = tb3.shape[1], tb3.shape[2]
-            ncol = iy * jx
-            flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
-            qmix = qvb3                     # prognostic mixing ratio
-            qspec = qmix / (1.0 + qmix)     # scheme wants spec. humidity
-            qs_spec = atms["qsb3"] / (1.0 + atms["qsb3"])
-            phflip = jnp.flip(pf3, axis=0).reshape(kz + 1, ncol).T
-            out = cupeman(
-                flipc(tb3), flipc(qspec), flipc(qs_spec),
-                flipc(atms["ubx3"]), flipc(atms["vbx3"]),
-                flipc(pb3) * 0.01, phflip * 0.01,
-                s.cbmf.reshape(ncol), dt,
-                jnp.where(core.grid_lndocn.reshape(ncol) > 0.5,
-                          ELCRIT_LND, ELCRIT_OCN),
-                jnp.full((ncol,), EPMAX, tb3.dtype),
-                max(self.minorig - 1, 1))   # 0-based origin level
-            unflip = lambda a: jnp.flip(
-                a.T.reshape(kz, iy, jx), axis=0)
-            cu_tten = unflip(out.ft)
-            qspec2 = flipc(qspec)
-            cu_qten = unflip(out.fq / (1.0 - qspec2) ** 2)
-            cu_utenx = unflip(out.fu)
-            cu_vtenx = unflip(out.fv)
-            # couple (cu_interface :448-470): cross tendencies ×psb,
-            # wind cross→dot ×psdotb
-            tphy = tphy + cu_tten * psb[None] * m_ci
-            qvphy = qvphy + cu_qten * psb[None] * m_ci
-            psd = cross2dot(psb)
-            uphy = uphy + cross2dot(cu_utenx) * psd[None] * core.m_di
-            vphy = vphy + cross2dot(cu_vtenx) * psd[None] * core.m_di
-            prate = out.precip.reshape(iy, jx) * m_ci
-            sfupd["rainc"] = s.rainc + prate * core.dtsec
-            sfupd["cbmf"] = out.cbmf.reshape(iy, jx) * m_ci
-            cldfra_cum = unflip(out.cldfra)
-            # convective in-cloud LWC (cucloud; cllwcv=0.3e-3 kg/kg,
-            # subexparam) in g/m3
-            cldlwc_cum = jnp.where(cldfra_cum > 0.0,
-                                   0.3e-3 * 1000.0 * rho, 0.0)
+        # land/ocean scheme split: run each scheme dense, blend by mask
+        cu = self._cumulus(core, atms, s, flags, dyn, dt)
+        cldfra_cum = cu["cldfra"]
+        cldlwc_cum = cu["cldlwc"]
+        tphy = tphy + cu["tten"] * cpl[None] * m_ci
+        qvphy = qvphy + cu["qvten"] * cpl[None] * m_ci
+        utenx = utenx + cu["utenx"]
+        vtenx = vtenx + cu["vtenx"]
+        if cu["has_precip"]:
+            sfupd["rainc"] = s.rainc + cu["prate"] * m_ci * core.dtsec
+        sfupd.update(cu["state"])
 
         # -- cloud fraction + SUBEX (mod_tendency.F90:1715-1740) ---------
         from .cloud.fractions import cldfrac_dispatch
@@ -216,7 +322,7 @@ class PhysicsSuite:
         cldlwc, cldfra = combine_clouds(fcc, qcb3, rho, tb3,
                                         cldfra_cum, cldlwc_cum)
         if self.cfg.physics.ipptls == 1:
-            out = subex(tb3, pb3, pf3, qvb3, qcb3, rh, rho, fcc, psb, dt,
+            out = subex(tb3, pb3, pf3, qvb3, qcb3, rh, rho, fcc, cpl, dt,
                         core.qck1, core.cgul, core.cevap, core.caccr)
             tphy = tphy + out.tten * m_ci
             qvphy = qvphy + out.qvten * m_ci
@@ -237,7 +343,7 @@ class PhysicsSuite:
                        colb(qhb3[2]), colb(qhb3[1]), colb(qhb3[3]),
                        colb(pb3), colb(dzq), colb(rho),
                        colb(atms["qsb3"]), colb(rh), core.dtsec)
-            pfac = psb[None] / core.dtsec * m_ci
+            pfac = cpl[None] / core.dtsec * m_ci
             tphy = tphy + (uncolb(out.t) - tb3) * pfac
             qvphy = qvphy + (uncolb(out.qv) - qvb3) * pfac
             qcphy = qcphy + (uncolb(out.qc) - qhb3[0]) * pfac
@@ -307,19 +413,27 @@ class PhysicsSuite:
             kmx = jnp.where(any_above,
                             jnp.maximum(first_above - 1, 0), kz - 2)
             rhox2d = atms["ps2d"] / (c.rgas * tb3[kz - 1])
+            mo = self.idynamic == 3     # MOLOCH: cross winds, uncoupled
             out = holtbl(
                 tp3, tb3, pb3, pf3, qvb3, qcb3,
                 atms["ubx3"], atms["vbx3"],
-                atms["ubd3"], atms["vbd3"],
+                atms["ubx3"] if mo else atms["ubd3"],
+                atms["vbx3"] if mo else atms["vbd3"],
                 za, dzq, rhox2d, uvdrag, hfx, qfx, tg,
-                core.coriol, psb, cross2dot(psb),
+                core.coriol, cpl,
+                jnp.ones_like(cpl) if mo else cross2dot(psb),
                 kmx, dt, ricr=self.ricr,
-                cross2dot_fn=cross2dot, m_di=core.m_di, m_ci=core.m_ci)
+                cross2dot_fn=None if mo else cross2dot,
+                m_di=None if mo else core.m_di, m_ci=core.m_ci)
             tphy = tphy + out.tten
             qvphy = qvphy + out.qvten
             qcphy = qcphy + out.qcten
-            uphy = uphy + out.uten
-            vphy = vphy + out.vten
+            if mo:
+                utenx = utenx + out.uten
+                vtenx = vtenx + out.vten
+            else:
+                uphy = uphy + out.uten
+                vphy = vphy + out.vten
         elif self.cfg.physics.ibltyp == 3:
             # GFS Hong-Pan PBL (pbl_gfs, Main/pbllib/mod_pbl_gfs.F90:98)
             from .pbl.gfs import moninq
@@ -375,16 +489,13 @@ class PhysicsSuite:
                          t1, q1s, qcs, prsl, prsi, delk, prslk, psk,
                          phil, phii, thr, heat, evap, stress,
                          rbsoil, spd1, dt)
-            tphy = tphy + unflip(out.tau) * psb[None] * m_ci
+            tphy = tphy + unflip(out.tau) * cpl[None] * m_ci
             qvphy = qvphy + unflip(out.rtgq / (1.0 - q1s) ** 2) \
-                * psb[None] * m_ci
+                * cpl[None] * m_ci
             qcphy = qcphy + unflip(out.rtgc / (1.0 - qcs) ** 2) \
-                * psb[None] * m_ci
-            psd = cross2dot(psb)
-            uphy = uphy + cross2dot(unflip(out.du)) * psd[None] \
-                * core.m_di
-            vphy = vphy + cross2dot(unflip(out.dv)) * psd[None] \
-                * core.m_di
+                * cpl[None] * m_ci
+            utenx = utenx + unflip(out.du)
+            vtenx = vtenx + unflip(out.dv)
 
         # -- shallow convection (any icup<0; mod_tendency.F90:316) -------
         # runs on the TOTAL (dyn+phy) tendencies after everything else,
@@ -394,15 +505,22 @@ class PhysicsSuite:
             iy, jx = tb3.shape[1], tb3.shape[2]
             ncol = iy * jx
             flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
-            rpsb = (1.0 / psb)[None]
-            ttot = flipc((dyn["tdyn"] + tphy) * rpsb)
-            qvtot = flipc((dyn["qvdyn"] + qvphy) * rpsb)
+            rcpl = (1.0 / cpl)[None]
+            ttot = flipc((dyn["tdyn"] + tphy) * rcpl)
+            qvtot = flipc((dyn["qvdyn"] + qvphy) * rcpl)
             out = shallcu(flipc(tb3), flipc(qvb3), ttot, qvtot,
                           flipc(pb3) * 0.01, atms["ps2d"].reshape(ncol)
                           * 0.01, (core.ht / c.egrav).reshape(ncol), dt)
             unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
-            tphy = tphy + unflip(out.outts) * psb[None] * m_ci
-            qvphy = qvphy + unflip(out.outqs) * psb[None] * m_ci
+            tphy = tphy + unflip(out.outts) * cpl[None] * m_ci
+            qvphy = qvphy + unflip(out.outqs) * cpl[None] * m_ci
+
+        # couple the accumulated cross-grid wind tendencies onto the
+        # momentum grid (uvcross2dot ×p*_dot for the B-grid cores,
+        # tenxtouvten for MOLOCH's C grid) — one staggering pass total
+        du, dv = core.couple_uvten(utenx, vtenx, cpl)
+        uphy = uphy + du
+        vphy = vphy + dv
 
         cldfra_out = cldfra
         # stack hydrometeor tendencies on the species axis (qc[,qr,qi,qs])
