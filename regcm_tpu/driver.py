@@ -95,6 +95,14 @@ def nh_initial_state(core, perturb: float = 0.0, seed: int = 0
                       tg=jnp.asarray(t0[-1], core.dtype))
 
 
+def moloch_bdy_from_state(s):
+    """Fixed MOLOCH boundary values equal to the current state."""
+    from .dynamics.moloch import MolochBdy
+    z3 = jnp.zeros_like(s.t)
+    return MolochBdy(pai0=s.pai, pait=z3, t0=s.t, tt=z3,
+                     qv0=s.qx[0], qvt=z3, u0=s.u, ut=z3, v0=s.v, vt=z3)
+
+
 class Model:
     """Top-level model object (RCM_initialize/run/finalize equivalent)."""
 
@@ -113,36 +121,51 @@ class Model:
         elif physics is None:
             from .physics.suite import PhysicsSuite
             physics = PhysicsSuite(cfg, self.grid)
-        self.core = HydroCore(self.grid, cfg, dtype=dtype, physics=physics)
         self.dtype = dtype
         self.dtsec = cfg.dtsec
-        if initial_state is None:
-            if cfg.core.idynamic == 2:
-                initial_state = nh_initial_state(self.core)
-            else:
-                initial_state = standard_atmosphere_state(
-                    self.grid, cfg, dtype)
-        if cfg.core.idynamic == 2:
+        self.idynamic = cfg.core.idynamic
+        if self.idynamic == 3:
+            from .dynamics.moloch import MolochCore
+            self.core = MolochCore(self.grid, cfg, dtype=dtype,
+                                   physics=physics)
+            if initial_state is None:
+                initial_state = self.core.initial_state()
             self.state = initial_state
+            if bdy is None:
+                bdy = moloch_bdy_from_state(self.state)
+            stepfn = self.core.step
         else:
-            self.state = self.core.init_split_storage(initial_state)
-        if bdy is None:
-            from .core.state import bdy_from_state
-            bdy = bdy_from_state(self.state)
+            self.core = HydroCore(self.grid, cfg, dtype=dtype,
+                                  physics=physics)
+            if initial_state is None:
+                if cfg.core.idynamic == 2:
+                    initial_state = nh_initial_state(self.core)
+                else:
+                    initial_state = standard_atmosphere_state(
+                        self.grid, cfg, dtype)
+            if cfg.core.idynamic == 2:
+                self.state = initial_state
+            else:
+                self.state = self.core.init_split_storage(initial_state)
+            if bdy is None:
+                from .core.state import bdy_from_state
+                bdy = bdy_from_state(self.state)
+            stepfn = self.core.step_nh if cfg.core.idynamic == 2 \
+                else self.core.step
         self.bdy = bdy
         self.start_date = Date.from_int(cfg.restart.mdate1,
                                         cfg.globdat.calendar)
         self.date = self.start_date
         self.xbctime = 0.0
         self.nstep = 0
-        stepfn = self.core.step_nh if cfg.core.idynamic == 2 \
-            else self.core.step
         self._step_jit = jax.jit(stepfn, static_argnames=("flags",))
 
     def step(self):
         """Advance one timestep (first step forward-Euler dt, then
-        leapfrog 2dt: mod_tendency.F90:610-616)."""
-        dt = self.dtsec if self.nstep == 0 else 2.0 * self.dtsec
+        leapfrog 2dt: mod_tendency.F90:610-616; MOLOCH is always
+        forward-in-time with dt)."""
+        dt = self.dtsec if (self.nstep == 0 or self.idynamic == 3) \
+            else 2.0 * self.dtsec
         flags = self._flags()
         from .utils.sun import coszrs as _coszrs
         mu = jnp.asarray(_coszrs(self.date, self.grid.xlat,
@@ -182,7 +205,7 @@ class Model:
                      if jnp.ndim(v) == 0}
                 print(f"step {self.nstep} {self.date}: "
                       + " ".join(f"{k}={v:.6g}" for k, v in d.items()))
-        jax.block_until_ready(self.state.ps_a)
+        jax.block_until_ready(jax.tree_util.tree_leaves(self.state)[0])
         wall = time.time() - t0
         return diags, wall
 
@@ -202,9 +225,24 @@ class Model:
         v = jnp.asarray(rec["v"], self.dtype) * psd[None]
         return ps, u, v, t, qv, jnp.asarray(rec["ts"], self.dtype)
 
+    def _icbc_to_moloch_fields(self, rec):
+        """ICBC sigma-level record → MOLOCH zita-level fields."""
+        return self.core.fields_from_sigma(
+            rec["ps"], rec["t"], rec["qv"], rec["u"], rec["v"],
+            self.grid.sigma)
+
     def init_from_icbc(self, reader):
         """Cold start from the ICBC record at mdate1 (mod_init cold)."""
         rec, _ = reader.record_at(self.date)
+        if self.idynamic == 3:
+            f = self._icbc_to_moloch_fields(rec)
+            qx = self.state.qx.at[0].set(f["qv"]).at[1:].set(0.0)
+            self.state = self.state._replace(
+                u=f["u"], v=f["v"], pai=f["pai"], t=f["t"], qx=qx,
+                tg=jnp.asarray(rec["ts"], self.dtype))
+            self._icbc = reader
+            self.update_boundary()
+            return
         ps, u, v, t, qv, ts = self._icbc_to_state_fields(rec)
         qx = jnp.concatenate(
             [qv[None],
@@ -225,6 +263,19 @@ class Model:
         dtbdy = self.cfg.globdat.ibdyfrq * 3600.0
         d1 = self.date.add_seconds(dtbdy)
         rec1, i1 = reader.record_at(d1)
+        if self.idynamic == 3:
+            from .dynamics.moloch import MolochBdy
+            f0 = self._icbc_to_moloch_fields(rec0)
+            f1 = self._icbc_to_moloch_fields(rec1)
+            rdt = 1.0 / (dtbdy if i1 != i0 else 1.0)
+            self.bdy = MolochBdy(
+                pai0=f0["pai"], pait=(f1["pai"] - f0["pai"]) * rdt,
+                t0=f0["t"], tt=(f1["t"] - f0["t"]) * rdt,
+                qv0=f0["qv"], qvt=(f1["qv"] - f0["qv"]) * rdt,
+                u0=f0["u"], ut=(f1["u"] - f0["u"]) * rdt,
+                v0=f0["v"], vt=(f1["v"] - f0["v"]) * rdt)
+            self.xbctime = 0.0
+            return
         ps0, u0, v0, t0, qv0, _ = self._icbc_to_state_fields(rec0)
         ps1, u1, v1, t1, qv1, _ = self._icbc_to_state_fields(rec1)
         if i1 == i0:      # end of file: hold boundary constant
@@ -254,7 +305,8 @@ class Model:
     def load_restart(self, path: str):
         from .io.restart import read_savefile
         fields, date, nstep, xbctime = read_savefile(path)
-        self.state = HydroState(**{
+        cls = type(self.state)
+        self.state = cls(**{
             k: jnp.asarray(v, self.dtype) for k, v in fields.items()})
         self.date = date
         self.nstep = nstep
@@ -294,6 +346,16 @@ class Model:
 
     def decoupled(self) -> Dict[str, np.ndarray]:
         s = self.state
+        if self.idynamic == 3:
+            # MOLOCH prognostics are already physical; winds face→cross
+            ux, vx = self.core.uvstag2x(s.u, s.v)
+            atms = self.core.mkslice(s.t, s.pai, s.qx, s.u, s.v, s.w)
+            return dict(
+                ps=np.asarray(atms["ps2d"]) / 100.0,      # hPa
+                t=np.asarray(s.t), qv=np.asarray(s.qx[0]),
+                qc=np.asarray(s.qx[1]),
+                u=np.asarray(ux), v=np.asarray(vx),
+                w=np.asarray(s.w))
         rps = 1.0 / np.asarray(s.ps_a)
         from .dynamics.stencil import cross2dot
         rpsd = 1.0 / np.asarray(cross2dot(s.ps_a))

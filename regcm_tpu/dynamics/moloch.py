@@ -78,16 +78,55 @@ class MolochState(NamedTuple):
     pai: jax.Array     # Exner function at centers
     t: jax.Array       # temperature at centers
     qx: jax.Array      # (nqx, kz, iy, jx) mixing ratios
+    # surface / physics persistent state (uncoupled; the MOLOCH analogue
+    # of the sfs/heatrt arrays shared with the physics stack,
+    # Main/mod_moloch.F90:1386 physical_parametrizations)
+    tg: jax.Array        # ground temperature (K)
+    rainnc: jax.Array    # accumulated large-scale precip (kg/m2)
+    rainc: jax.Array     # accumulated convective precip (kg/m2)
+    heatrt: jax.Array    # radiative heating rate (K/s), (kz, iy, jx)
+    qfx: jax.Array       # surface moisture flux (kg/m2/s)
+    hfx: jax.Array       # surface sensible heat flux (W/m2)
+    uvdrag: jax.Array    # surface drag coefficient ρ·Cd·V
+    swsfc: jax.Array     # absorbed shortwave at surface (W/m2)
+    lwsfc: jax.Array     # net downward longwave at surface (W/m2)
+    cbmf: jax.Array      # Emanuel cloud-base mass flux memory
+    cldefi: jax.Array    # Betts-Miller cloud efficiency memory
+
+
+class MolochBdy(NamedTuple):
+    """MOLOCH lateral boundary pairs (xtb/xqb/xub/xvb/xpaib of
+    Main/mod_atm_interface.F90:39-60, uncoupled fields; b0 + t·bt)."""
+    pai0: jax.Array
+    pait: jax.Array
+    t0: jax.Array
+    tt: jax.Array
+    qv0: jax.Array
+    qvt: jax.Array
+    u0: jax.Array
+    ut: jax.Array
+    v0: jax.Array
+    vt: jax.Array
+
+
+def zeros_moloch_phys(kz: int, iy: int, jx: int, dtype=jnp.float64):
+    """Zero-initialized physics/surface fields for MolochState."""
+    z2 = jnp.zeros((iy, jx), dtype)
+    z3 = jnp.zeros((kz, iy, jx), dtype)
+    return dict(tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
+                uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
+                cldefi=jnp.full((iy, jx), 0.6, dtype))
 
 
 class MolochCore:
     """MOLOCH integration engine (compile-time constants + pure step)."""
 
     def __init__(self, grid: ModelGrid, cfg: RegCMConfig,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, physics=None):
         self.grid = grid
         self.cfg = cfg
         self.dtype = dtype
+        self.physics = physics
         f = lambda x: jnp.asarray(x, dtype)
         g = grid
         kz, iy, jx = g.kz, g.iy, g.jx
@@ -181,8 +220,58 @@ class MolochCore:
         self.nfc = f(g.nudge_fc) * scl
         self.ngc = f(g.nudge_gc) * scl
 
+        # every-step smoother coefficients (mod_moloch.F90:217-219)
         self.nupait = 1.0 / self.nadv
         self.nuwind = 1.0 / self.nsound
+        self.nuqx = 0.5 * self.nuwind
+
+        # physics contract shared with PhysicsSuite (the attributes the
+        # suite reads off `core`; MOLOCH prognostics are uncoupled so the
+        # coupling factor it passes is 1)
+        self.nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
+        self.ptop = 0.0                      # Kuo p* convention (unused)
+        self.grid_lndocn = f(g.lndocn)
+        self.sst = jnp.full((iy, jx), 288.0, dtype)
+        self.coriol = f(g.coriol)
+        self.m_di = self.m_u                 # only used by B-grid paths
+        sx = cfg.subex
+        lndm = f(g.lndocn)
+        self.qck1 = jnp.where(lndm > 0.5, sx.qck1land, sx.qck1oce)
+        self.cgul = jnp.where(lndm > 0.5, sx.gulland, sx.guloce)
+        self.cevap = jnp.where(lndm > 0.5, sx.cevaplnd, sx.cevapoce)
+        self.caccr = jnp.where(lndm > 0.5, sx.caccrlnd, sx.caccroce)
+        self.rh0 = jnp.where(lndm > 0.5, sx.rh0land, sx.rh0oce)
+        self.rhmax = sx.rhmax
+        self.rhmin = 0.01
+        self.conf = sx.conf
+
+        # upper Rayleigh damping toward boundary values (moraydamp,
+        # Main/mod_bdycod.F90 + tau :5115; ramps over rayhd below the top)
+        dxp = cfg.dyn.extras
+        self.ifrayd = int(dxp.get("ifrayd", 1))
+        self.rayalpha0 = float(dxp.get("rayalpha0", 3.0e-4))
+        self.rayhd = float(dxp.get("rayhd", 1.0e4))
+        zeta_np = np.stack([md_zeta_h(zitah[k], orog, self.a0, self.b0)
+                            for k in range(kz)])
+        ztop = zeta_np[0]
+        ramp = lambda z: np.where(
+            z > ztop - self.rayhd,
+            self.rayalpha0
+            * np.sin(0.5 * np.pi
+                     * (1.0 - (ztop - z) / self.rayhd)) ** 2, 0.0)
+        self.raytau = f(ramp(zeta_np))              # cross centers
+        zeta_u = 0.5 * (zeta_np + np.roll(zeta_np, 1, axis=2))
+        zeta_v = 0.5 * (zeta_np + np.roll(zeta_np, 1, axis=1))
+        ztop_u = zeta_u[0]
+        ztop_v = zeta_v[0]
+        self.raytau_u = f(np.where(
+            zeta_u > ztop_u - self.rayhd,
+            self.rayalpha0 * np.sin(0.5 * np.pi * (
+                1.0 - (ztop_u - zeta_u) / self.rayhd)) ** 2, 0.0))
+        self.raytau_v = f(np.where(
+            zeta_v > ztop_v - self.rayhd,
+            self.rayalpha0 * np.sin(0.5 * np.pi * (
+                1.0 - (ztop_v - zeta_v) / self.rayhd)) ** 2, 0.0))
 
     # ------------------------------------------------------------------
     def initial_state(self, perturb=0.0, bubble=None, seed=0
@@ -233,10 +322,89 @@ class MolochCore:
         qv = np.minimum(qv, 0.012)
         f = lambda x: jnp.asarray(x, self.dtype)
         z3 = jnp.zeros((kz, iy, jx), self.dtype)
-        qx = jnp.stack([f(qv), jnp.zeros_like(f(qv))])
+        qx = jnp.concatenate(
+            [f(qv)[None], jnp.zeros((self.nqx - 1, kz, iy, jx),
+                                    self.dtype)])
+        phys = zeros_moloch_phys(kz, iy, jx, self.dtype)
+        phys["tg"] = f(t[kz - 1])
         return MolochState(u=z3, v=z3,
                            w=jnp.zeros((kz + 1, iy, jx), self.dtype),
-                           pai=f(pai), t=f(t), qx=qx)
+                           pai=f(pai), t=f(t), qx=qx, **phys)
+
+    # ------------------------------------------------------------------
+    def fields_from_sigma(self, ps, t, qv, u, v, sigma_f):
+        """ICBC fields on sigma-p half levels → MOLOCH zita levels
+        (the mod_init idynamic=3 path: height interpolation +
+        hydrostatic pai via paicompute, Main/mod_bdycod.F90:5125).
+
+        ps in Pa (full surface pressure), t/qv/u/v (kz_src, iy, jx) on
+        sigma half levels (top→bottom), sigma_f (kz_src+1,) interfaces.
+        Returns dict(pai, t, qv, u, v) on the core's grid (u/v at
+        C-grid faces). Runs once per boundary input — plain numpy."""
+        ps = np.asarray(ps, np.float64)
+        t = np.asarray(t, np.float64)
+        qv = np.asarray(qv, np.float64)
+        ptop = float(self.grid.ptop) * 1000.0          # Pa
+        sf = np.asarray(sigma_f, np.float64)[:, None, None]
+        pf = sf * (ps[None] - ptop) + ptop             # (kzs+1, iy, jx)
+        tv = t * (1.0 + c.ep1 * qv)
+        # hypsometric heights above ground at half levels
+        dz_lay = c.rgas * tv / c.egrav * np.log(pf[1:] / pf[:-1])
+        zf = np.zeros_like(pf)
+        zf[:-1] = np.cumsum(dz_lay[::-1], axis=0)[::-1]
+        za_src = 0.5 * (zf[:-1] + zf[1:])              # above ground
+        za_dst = np.asarray(self.zeta)                 # above ground
+        kzs = za_src.shape[0]
+        src_z = za_src[::-1]                    # ascending in height
+        dst_z = za_dst[::-1]
+        idx = np.sum(src_z[None] <= dst_z[:, None], axis=1)
+        idx = np.clip(idx, 1, kzs - 1)
+        lo, hi = idx - 1, idx
+        zlo = np.take_along_axis(src_z, lo, 0)
+        zhi = np.take_along_axis(src_z, hi, 0)
+        wgt = np.clip((dst_z - zlo) / np.maximum(zhi - zlo, 1e-9),
+                      0.0, 1.0)
+        def vinterp(fld):
+            # linear in height, clamped at the profile ends (vectorized
+            # over all columns at once)
+            src_f = np.asarray(fld, np.float64)[::-1]
+            flo = np.take_along_axis(src_f, lo, 0)
+            fhi = np.take_along_axis(src_f, hi, 0)
+            return (flo + wgt * (fhi - flo))[::-1]
+        t_m = vinterp(t)
+        qv_m = np.maximum(vinterp(qv), c.minqq)
+        u_m = vinterp(np.asarray(u, np.float64))
+        v_m = vinterp(np.asarray(v, np.float64))
+        pai = self.paicompute(ps, t_m, qv_m)
+        f = lambda x: jnp.asarray(x, self.dtype)
+        uf, vf = self.x2uvstag(f(u_m), f(v_m))
+        return dict(pai=f(pai), t=f(t_m), qv=f(qv_m), u=uf, v=vf)
+
+    def paicompute(self, ps, t, qv):
+        """Hydrostatic Exner initialization (paicompute,
+        Main/mod_bdycod.F90:5125-5155): lowest level from ps extrapolated
+        over the surface half layer, then upward quadratic recursion."""
+        kz = self.kz
+        t = np.asarray(t, np.float64)
+        qv = np.asarray(qv, np.float64)
+        fmzf = np.asarray(self.fmzf, np.float64)
+        ht = np.asarray(self.ht, np.float64)           # geopotential
+        zz1 = -c.egrav * HZITA * bzita(0.5 * self.dz, self.b0) \
+            * math.log(1.0 - 0.5 * self.dz / HZITA)
+        zdelta = ht * (gzita(0.5 * self.dz, self.a0) - 1.0) + zz1
+        tvk = t[kz - 1] * (1.0 + c.ep1 * qv[kz - 1])
+        p_low = np.asarray(ps, np.float64) \
+            * np.exp(-zdelta / (c.rgas * tvk))
+        pai = np.empty((kz,) + p_low.shape, np.float64)
+        pai[kz - 1] = (p_low / c.stdp) ** c.rovcp
+        for k in range(kz - 2, -1, -1):
+            tv1 = t[k] * (1.0 + c.ep1 * qv[k])
+            tv2 = t[k + 1] * (1.0 + c.ep1 * qv[k + 1])
+            zb = 2.0 * c.egrav * self.dz / (fmzf[k + 1] * c.cpd) \
+                + tv1 - tv2
+            zdel = np.sqrt(zb ** 2 + 4.0 * tv2 * tv1)
+            pai[k] = -pai[k + 1] / (2.0 * tv2) * (zb - zdel)
+        return pai
 
     # ------------------------------------------------------------------
     def _sound(self, u, v, w, pai, tetav, qv, qsat, dts):
@@ -467,59 +635,217 @@ class MolochCore:
         return jnp.concatenate(
             [w_old[:1], w_int, w_old[-1:]], axis=0)
 
-    # ------------------------------------------------------------------
-    def step(self, st: MolochState, bdy=None, xt=0.0
-             ) -> Tuple[MolochState, Dict[str, jax.Array]]:
-        """One MOLOCH model step (moloch, mod_moloch.F90:224-480).
+    def couple_uvten(self, utenx, vtenx, cpl):
+        """Cross-point physics wind tendencies → C-grid faces
+        (tenxtouvten, Main/mpplib/mod_mppparam.F90:13524-13580): 4th-order
+        interpolation in the face-normal direction; MOLOCH prognostics
+        are uncoupled so no p* factor. Interior faces only (the edge
+        2nd-order rows are masked off with the face-interior masks)."""
+        u = 0.5625 * (utenx + shifte(utenx, 0, -1)) \
+            - 0.0625 * (shifte(utenx, 0, 1) + shifte(utenx, 0, -2))
+        v = 0.5625 * (vtenx + shifte(vtenx, -1, 0)) \
+            - 0.0625 * (shifte(vtenx, 1, 0) + shifte(vtenx, -2, 0))
+        return u * self.m_u, v * self.m_v
 
-        Dynamics + boundary relaxation (physics plugs in separately)."""
+    # ------------------------------------------------------------------
+    def mkslice(self, t, pai, qx, u, v, w):
+        """Physics-ready fields (init_slice MOLOCH aliases,
+        Main/mod_slice.F90:49-99 + the idynamic=3 branch :107-167).
+
+        Returns the same `atms` dict contract as the hydrostatic core's
+        in-step mkslice, with cpl=1 (uncoupled tendencies)."""
         kz = self.kz
-        dtstepa = self.dtsec / self.nadv
+        qv = jnp.maximum(qx[0], c.minqq)
+        qh = jnp.maximum(qx[1:], 0.0)
+        qc = qh[0]
+        qcond = jnp.sum(qh, axis=0)
+        tvirt = t * (1.0 + c.ep1 * qv - qcond)
+        p = pai ** c.cpovr * c.stdp
+        rho = p / (c.rgas * t)
+        # surface pressure (mod_moloch.F90:374-381): extrapolate the
+        # lowest-layer virtual temperature over the half-layer to z=0
+        zz1 = -c.egrav * HZITA * bzita(0.5 * self.dz, self.b0) \
+            * math.log(1.0 - 0.5 * self.dz / HZITA)
+        # self.ht is geopotential (m²/s²) like mddom%ht
+        zdgz = self.ht * (gzita(0.5 * self.dz, self.a0) - 1.0) + zz1
+        ps = p[kz - 1] * jnp.exp(zdgz / (c.rgas * tvirt[kz - 1]))
+        # interface pressures (mkslice :109-116)
+        pf_int = c.stdp * (0.5 * (pai[1:] + pai[:-1])) ** c.cpovr
+        pf3 = jnp.concatenate(
+            [jnp.full((1,) + ps.shape, 100.0, self.dtype),
+             pf_int, ps[None]], axis=0)
+        qsb3 = pfwsat(t, p)
+        rhb3 = jnp.clip(qv / qsb3, 0.01, 1.0)
+        ux, vx = self.uvstag2x(u, v)
+        dzq = self.zetaf[:-1] - self.zetaf[1:]
+        return dict(
+            ubd3=ux, vbd3=vx, ubx3=ux, vbx3=vx, tb3=t, qvb3=qv, qcb3=qc,
+            qhb3=qh, tvb3=tvirt, pb3=p, pf3=pf3, ps2d=ps, rhob3=rho,
+            qsb3=qsb3, rhb3=rhb3,
+            za=self.zeta, zq=self.zetaf, dzq=dzq,
+            # coupling factor 1 (uncoupled MOLOCH prognostics) and a
+            # p*-like field in cb for the schemes that want it
+            cpl=jnp.ones_like(ps), psb=ps * 1e-3,
+            psa=ps * 1e-3, rpsb=jnp.ones_like(ps),
+            omega_pa=-0.5 * c.egrav * rho * (w[:kz] + w[1:]),
+            qdot=jnp.zeros_like(w), coszrs=jnp.zeros_like(ps))
+
+    def _condtq(self, t, qx, p, tten, qxten, cldfra, dt):
+        """SUBEX saturation adjustment, MOLOCH branch (condtq,
+        Main/mod_micro_interface.F90:395-493 idynamic==3 path):
+        provisional forecast with the accumulated physics tendencies,
+        condensation/evaporation increments returned uncoupled."""
+        from ..utils.thermo import wlh
+        qv = jnp.maximum(qx[0], c.minqq)
+        t_p1 = jnp.maximum(t + dt * tten, 10.0)
+        qv_p1 = jnp.maximum(qx[0] + dt * qxten[0], c.minqq)
+        qc_p1 = jnp.maximum(qx[1] + dt * qxten[1], 0.0)
+        qvs = pfwsat(t_p1, p)
+        wwlh = wlh(t_p1)
+        r1 = 1.0 / (1.0 + wwlh * wwlh * qvs
+                    / (c.rwat * c.cpd * t_p1 ** 2))
+        rhc = jnp.clip(qv_p1 / qvs, 0.0, 1.0)
+        rh = jnp.clip(qv / pfwsat(jnp.maximum(t, 10.0), p),
+                      self.rhmin, self.rhmax)
+        rh0adj = 1.0 - (1.0 - rh) / jnp.maximum((1.0 - cldfra) ** 2,
+                                                1e-10)
+        rh0adj = jnp.clip(rh0adj, 0.0, 0.99999)
+        qvc_cld = jnp.maximum(pfwsat(jnp.maximum(t, 10.0), p)
+                              + dt * qxten[0], 0.0)
+        fccc = 1.0 - jnp.sqrt(jnp.clip(
+            (1.0 - rhc) / jnp.maximum(1.0 - rh0adj, 1e-10), 0.0, None))
+        fccc = jnp.clip(fccc, 0.0, 1.0)
+        dqv = jnp.where((rhc < rh0adj) | (rhc > 0.99999),
+                        self.conf * (qv_p1 - qvs),
+                        self.conf * fccc * (qvc_cld - qvs))
+        tmp1 = r1 * dqv
+        exces = qc_p1 + tmp1
+        tmp2 = jnp.where(exces >= 0.0, tmp1 / dt, -qc_p1 / dt)
+        tmp2 = jnp.where(jnp.abs(tmp2) > c.dlowval, tmp2, 0.0) \
+            * self.m_ci
+        return tmp2 * wwlh * c.rcpd, -tmp2, tmp2
+
+    # ------------------------------------------------------------------
+    def step(self, st: MolochState, bdy=None, xt=0.0, dt=None,
+             flags=None, coszrs=None
+             ) -> Tuple[MolochState, Dict[str, jax.Array]]:
+        """One MOLOCH model step (moloch, mod_moloch.F90:224-480):
+        acoustic/advection substeps → decouple → mkslice → physics
+        (physical_parametrizations :1386) → boundary nudge + raydamp →
+        every-step filters (filtuv/filtt/filtq :571-707).
+
+        `dt` is accepted for driver-signature uniformity but MOLOCH is
+        forward-in-time: the step length is always cfg dtsec."""
+        kz = self.kz
+        dtsec = self.dtsec
+        dtstepa = dtsec / self.nadv
         dtsound = dtstepa / self.nsound
+        if isinstance(bdy, dict):
+            bdy = MolochBdy(**bdy)
 
         u, v, w = st.u, st.v, st.w
         pai, t = st.pai, st.t
         qx = st.qx
-        qv = qx[0]
-        qc = qx[1]
+        qv = jnp.maximum(qx[0], c.minqq)
+        qcond = jnp.sum(jnp.maximum(qx[1:], 0.0), axis=0)
         p = pai ** c.cpovr * c.stdp
         qsat = pfwsat(t, p)
-        tvirt = t * (1.0 + c.ep1 * qv - qc)
+        tvirt = t * (1.0 + c.ep1 * qv - qcond)
         tetav = tvirt / pai
 
         for _ in range(self.nadv):
             u, v, w, pai, s = self._sound(u, v, w, pai, tetav, qv, qsat,
                                           dtsound)
-            # advection of all fields (advection, :1042-1095)
+            # advection of all fields (advection, :1042-1095) — one
+            # vmapped WAF pass batched over {θv, π, ux, vx, wx, qx...}
+            # (a single fused kernel instead of nf sequential passes)
             ux, vx = self.uvstag2x(u, v)
             wx = self.wstag2x(w)
-            tetav = self._wafone(tetav, u, v, s, dtstepa)
-            pai = self._wafone(pai, u, v, s, dtstepa)
-            ux = self._wafone(ux, u, v, s, dtstepa)
-            vx = self._wafone(vx, u, v, s, dtstepa)
-            wx = self._wafone(wx, u, v, s, dtstepa)
-            qv = self._wafone(qv, u, v, s, dtstepa)
-            qc = self._wafone(qc, u, v, s, dtstepa)
+            fields = jnp.concatenate(
+                [tetav[None], pai[None], ux[None], vx[None], wx[None],
+                 qx], axis=0)
+            adv = jax.vmap(
+                lambda fld: self._wafone(fld, u, v, s, dtstepa))(fields)
+            tetav, pai, ux, vx, wx = (adv[0], adv[1], adv[2], adv[3],
+                                      adv[4])
+            qx = adv[5:]
             u, v = self.x2uvstag(ux, vx)
             w = self.x2wstag(wx, w)
 
         # de-couple: T from θv·π (:322-350)
+        qv = jnp.maximum(qx[0], c.minqq)
+        qh = jnp.maximum(qx[1:], 0.0)
+        qx = jnp.concatenate([qv[None], qh])
+        qcond = jnp.sum(qh, axis=0)
         tvirt = tetav * pai
-        t = tvirt / (1.0 + c.ep1 * qv - qc)
+        t = tvirt / (1.0 + c.ep1 * qv - qcond)
 
-        # boundary relaxation (moloch boundary, :485-520)
+        # -- physics (physical_parametrizations, :1386) ------------------
+        sfupd: Dict[str, jax.Array] = {}
+        heatrt = st.heatrt
+        if self.physics is not None and flags is not None:
+            atms = self.mkslice(t, pai, qx, u, v, w)
+            if coszrs is not None:
+                atms["coszrs"] = coszrs
+            s_now = st._replace(u=u, v=v, w=w, pai=pai, t=t, qx=qx)
+            z3 = jnp.zeros_like(t)
+            (tphy, qvphy, qhphy, uphy, vphy, cldfra, heatrt,
+             sfupd) = self.physics(
+                 self, atms, s_now, bdy, flags, dtsec,
+                 dyn=dict(tdyn=z3, qvdyn=z3, qvhadv=z3, qv_vadv=z3))
+            # heating rate added uncoupled every step (:1489-1492)
+            tphy = tphy + heatrt * self.m_ci
+            if self.cfg.physics.ipptls == 1:
+                dtc, dqv, dqc = self._condtq(
+                    t, qx, atms["pb3"], tphy,
+                    jnp.stack([qvphy, qhphy[0]]), cldfra, dtsec)
+                tphy = tphy + dtc
+                qvphy = qvphy + dqv
+                qhphy = qhphy.at[0].add(dqc)
+            # update status (:1546-1568): forward-Euler apply, floors
+            t = t + dtsec * tphy * self.m_ci
+            qv = jnp.maximum(qv + dtsec * qvphy * self.m_ci, c.minqq)
+            qh = jnp.maximum(qh + dtsec * qhphy * self.m_ci, 0.0)
+            qx = jnp.concatenate([qv[None], qh])
+            u = u + dtsec * uphy
+            v = v + dtsec * vphy
+
+        # -- boundary relaxation (moloch boundary, :485-548) -------------
         if bdy is not None:
-            xtd = xt + self.dtsec
-            pai = pai + self._nudge(bdy["pai0"] + xtd * bdy["pait"] - pai)
-            t = t + self._nudge(bdy["t0"] + xtd * bdy["tt"] - t)
+            xtd = xt + dtsec
+            pai = pai + self._nudge(bdy.pai0 + xtd * bdy.pait - pai)
+            t = t + self._nudge(bdy.t0 + xtd * bdy.tt - t)
             qv = jnp.maximum(
-                qv + self._nudge(bdy["qv0"] + xtd * bdy["qvt"] - qv),
+                qv + self._nudge(bdy.qv0 + xtd * bdy.qvt - qv),
                 c.minqq)
-            u = u + self._nudge(bdy["u0"] + xtd * bdy["ut"] - u)
-            v = v + self._nudge(bdy["v0"] + xtd * bdy["vt"] - v)
+            u = u + self._nudge(bdy.u0 + xtd * bdy.ut - u)
+            v = v + self._nudge(bdy.v0 + xtd * bdy.vt - v)
+            qx = qx.at[0].set(qv)
+            # upper Rayleigh damping toward BCs (moraydamp,
+            # mod_moloch.F90:420-425; tau ramps over rayhd below the top)
+            if self.ifrayd == 1:
+                u = u + dtsec * self.raytau_u \
+                    * (bdy.u0 + xtd * bdy.ut - u) * self.m_u
+                v = v + dtsec * self.raytau_v \
+                    * (bdy.v0 + xtd * bdy.vt - v) * self.m_v
+                t = t + dtsec * self.raytau \
+                    * (bdy.t0 + xtd * bdy.tt - t) * self.m_ci
+                pai = pai + dtsec * self.raytau \
+                    * (bdy.pai0 + xtd * bdy.pait - pai) * self.m_ci
 
-        ns = MolochState(u=u, v=v, w=w, pai=pai, t=t,
-                         qx=jnp.stack([qv, qc]))
+        # -- every-step 4-point smoothers (filtuv/filtt/filtq) -----------
+        lap4 = lambda a: 0.125 * (shift(a, 0, -1) + shift(a, 0, 1)
+                                  + shift(a, -1, 0) + shift(a, 1, 0)) \
+            - 0.5 * a
+        u = u + self.nuwind * lap4(u) * self.m_u
+        v = v + self.nuwind * lap4(v) * self.m_v
+        t = t + self.nupait * lap4(t) * self.m_ci
+        qv2 = qx[0] + self.nuqx * lap4(qx[0]) * self.m_ci
+        qh2 = qx[1:] + 0.5 * self.nuqx * lap4(qx[1:]) * self.m_ci[None]
+        qx = jnp.concatenate([qv2[None], qh2])
+
+        ns = st._replace(u=u, v=v, w=w, pai=pai, t=t, qx=qx,
+                         heatrt=heatrt, **sfupd)
         p = pai ** c.cpovr * c.stdp
         diags = dict(
             wmax=jnp.max(jnp.abs(w)),

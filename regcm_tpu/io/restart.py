@@ -52,7 +52,7 @@ def write_savefile(path: str, state: HydroState, date: Date,
 def read_savefile(path: str, dtype=None) -> Tuple[dict, Date, int, float]:
     f = netcdf_file(path, "r", mmap=False)
     fields = {}
-    for name in HydroState._fields:
+    for name in f.variables:
         fields[name] = np.array(f.variables[name].data)
     cal = f.calendar.decode() if isinstance(f.calendar, bytes) \
         else f.calendar

@@ -62,6 +62,11 @@ def validate_physics(cfg):
     if p.ichem != 0:
         raise ValueError("ichem=1 (interactive chemistry) is not yet "
                          "implemented in regcm_tpu")
+    if cfg.core.idynamic == 3 and 1 in (abs(p.icup_lnd), abs(p.icup_ocn)):
+        raise ValueError(
+            "icup=1 (Kuo) requires the sigma-p cores' deferred qv "
+            "vertical advection staging and is not available with the "
+            "MOLOCH core (idynamic=3)")
 
 
 class PhysicsSuite:
@@ -296,8 +301,8 @@ class PhysicsSuite:
         # the end (uvcross2dot for B-grid cores / tenxtouvten for MOLOCH)
         utenx = jnp.zeros_like(tb3)
         vtenx = jnp.zeros_like(tb3)
-        uphy = jnp.zeros_like(s.u_a)
-        vphy = jnp.zeros_like(s.v_a)
+        uphy = jnp.zeros_like(tb3)
+        vphy = jnp.zeros_like(tb3)
         sfupd: Dict[str, jax.Array] = {}
 
         # -- cumulus (mod_tendency.F90:1686; cu_interface :251-535) ------

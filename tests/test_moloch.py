@@ -78,6 +78,59 @@ def test_waf_monotone_conservative():
     assert 1.0 <= c1 - c0 <= 3.0
 
 
+def test_moloch_model_with_physics():
+    """idynamic=3 is a first-class Model target: full PhysicsSuite
+    coupled through physical_parametrizations (mod_moloch.F90:1386),
+    uncoupled tendencies, tenxtouvten wind staggering."""
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_001.in")
+    cfg.core.idynamic = 3
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 20, 24, 20
+    cfg.geo.ds = 10.0
+    cfg.time.dt = 60.0
+    from regcm_tpu.driver import Model
+    from regcm_tpu.dynamics.moloch import MolochCore as MC
+    m = Model(cfg, dtype=jnp.float64)
+    assert isinstance(m.core, MC)
+    for _ in range(4):
+        d = m.step()
+    assert m.check_finite()
+    dec = m.decoupled()
+    assert 990.0 < dec["ps"].mean() < 1030.0
+    # physics state was engaged (radiation ran on the first step)
+    assert float(jnp.abs(m.state.heatrt).max()) > 0.0
+    assert float(jnp.abs(m.state.hfx).max()) >= 0.0
+
+
+def test_moloch_icbc_driven():
+    """ICBC-driven MOLOCH: sigma-level records interpolated to zita
+    (fields_from_sigma + paicompute, Main/mod_bdycod.F90:5125)."""
+    import os
+    import tempfile
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_001.in")
+    cfg.core.idynamic = 3
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 20, 24, 20
+    cfg.geo.ds = 20.0
+    cfg.time.dt = 60.0
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+    from regcm_tpu.preproc.icbc import (generate_synthetic_icbc,
+                                        ICBCReader)
+    from regcm_tpu.preproc.terrain import synthetic_topo
+    topo, _, _ = synthetic_topo(cfg)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "icbc.nc")
+        generate_synthetic_icbc(cfg, topo, path, jet=10.0)
+        m = Model(cfg, dtype=jnp.float64)
+        m.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
+        # initialization is close to hydrostatic balance: surface p
+        # from pai within ~2 hPa of the record ps
+        dec = m.decoupled()
+        assert 980.0 < dec["ps"].mean() < 1040.0
+        m.run_icbc(4)
+        assert m.check_finite()
+        assert float(jnp.abs(m.state.w).max()) < 5.0
+
+
 def test_warm_bubble_rises():
     """3 K bubble develops an ascending updraft (classic NH thermal)."""
     core = _core(iy=24, jx=30, kz=30, ds=1.0, dt=8.0)
