@@ -1,12 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: hydrostatic core throughput on one chip.
+"""Benchmarks: per-chip throughput on the reference anchor + flagship.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference's only published anchor — test_001 (34x64x18,
-dt=150s) at ~1.9e5 grid-point·steps/s on 8 MPI ranks of a 2010 quad-core
-i7 (BASELINE.md; Doc/UserGuide/TestRun.tex:265).
+Prints one JSON line per benchmark; the FIRST line is the headline
+like-for-like metric: test_001 (34x64x18, dt=150 s) with the FULL
+physics suite — Emanuel cumulus, Holtslag PBL, SUBEX, CCM3 spectral
+radiation on its dtrad alarm, surface fluxes — the same configuration
+as the reference's only published anchor (~1.9e5 grid-point·steps/s on
+8 MPI ranks of a 2010 quad-core i7; BASELINE.md,
+Doc/UserGuide/TestRun.tex:265).  Further lines: dynamics-only test_001
+and the 3 km convection-permitting MOLOCH flagship (192x192x41).
+
+Radiation cost is amortized honestly: the timed loop runs plain steps
+(surface every step — conservative vs the reference's dtsrf cadence)
+and the dtrad-alarm radiation step is timed separately and charged at
+1/nrad per step.
 """
 import json
+import math
 import os
 import sys
 import time
@@ -16,10 +26,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+from regcm_tpu.utils.jaxcache import enable_cache
+enable_cache()
+
 BASELINE_GPS = 1.9e5   # grid-point·steps/s (machine-wide, 8 ranks)
 
 
-def main():
+def _emit(metric, gps, dt, per_step, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(gps, 1),
+        "unit": "gp*steps/s",
+        "vs_baseline": round(gps / BASELINE_GPS, 3),
+        "ms_per_step": round(per_step * 1e3, 3),
+        "sypd": round(dt / per_step / 365.0 / 86400.0 * 86400.0, 2),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _time_fn(fn, arg, nrep, per_call_steps=1):
+    out = fn(arg)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.time()
+    cur = arg
+    for _ in range(nrep):
+        cur = fn(cur)
+    jax.block_until_ready(jax.tree_util.tree_leaves(cur)[0])
+    return (time.time() - t0) / (nrep * per_call_steps)
+
+
+def bench_hydro(physics, label):
     import numpy as np
     from regcm_tpu.config.params import RegCMConfig
     from regcm_tpu.core.grid import build_grid
@@ -28,56 +66,112 @@ def main():
     from regcm_tpu.dynamics.hydrostatic import HydroCore
 
     nml = "/root/reference/Testing/test_001.in"
-    if os.path.exists(nml):
-        cfg = RegCMConfig.from_file(nml)
-    else:
-        cfg = RegCMConfig()
-        cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 34, 64, 18
+    cfg = RegCMConfig.from_file(nml) if os.path.exists(nml) \
+        else RegCMConfig()
     dtype = jnp.float32
     grid = build_grid(cfg)
-    core = HydroCore(grid, cfg, dtype=dtype)
-    s = standard_atmosphere_state(grid, cfg, dtype=dtype, perturb=0.3,
-                                  seed=0)
+    phys = None
+    if physics:
+        from regcm_tpu.physics.suite import PhysicsSuite
+        phys = PhysicsSuite(cfg, grid)
+    core = HydroCore(grid, cfg, dtype=dtype, physics=phys)
+    s = standard_atmosphere_state(grid, cfg, dtype=dtype, perturb=0.3)
     s = core.init_split_storage(s)
     bdy = bdy_from_state(s)
-    flags = StepFlags()
-    step = jax.jit(core.step, static_argnames=("flags",))
+    dtsec = cfg.dtsec                       # reference dt (150 s)
     xt = jnp.asarray(0.0, dtype)
-    dt = jnp.asarray(300.0, dtype)
-
-    # scan-chained multi-step kernel: one dispatch per CHUNK steps (the
-    # host loop only handles alarms; pure dynamics steps fuse on-device)
+    dt = jnp.asarray(dtsec, dtype)
+    mu = jnp.full((grid.iy, grid.jx), 0.5, dtype)
+    plain = StepFlags(do_rad=False, do_srf=physics, do_cum=physics)
+    radf = StepFlags(do_rad=True, do_srf=physics, do_cum=physics)
+    step = jax.jit(core.step, static_argnames=("flags",))
     chunk = int(os.environ.get("BENCH_CHUNK", "20"))
 
     @jax.jit
     def multi(sc):
         def body(carry, _):
-            ns, _ = step(carry, bdy, xt, dt, flags)
+            ns, _ = step(carry, bdy, xt, dt, plain, mu)
             return ns, ()
         out, _ = jax.lax.scan(body, sc, None, length=chunk)
         return out
 
-    s1 = multi(s)
-    jax.block_until_ready(s1.ps_a)
+    nsteps = int(os.environ.get("BENCH_STEPS", "200"))
+    t_plain = _time_fn(multi, s, max(nsteps // chunk, 1), chunk)
+    per_step = t_plain
+    extra = {}
+    if physics:
+        radstep = jax.jit(
+            lambda sc: step(sc, bdy, xt, dt, radf, mu)[0])
+        t_rad = _time_fn(radstep, s, 5)
+        nrad = max(int(round(cfg.time.dtrad_sec / dtsec)), 1)
+        per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad
+        extra = {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad}
+    gp = grid.iy * grid.jx * grid.kz
+    _emit(label, gp / per_step, dtsec, per_step, extra)
 
-    nsteps = int(os.environ.get("BENCH_STEPS", "400"))
-    nchunks = max(nsteps // chunk, 1)
-    nsteps = nchunks * chunk
-    t0 = time.time()
-    cur = s
-    for _ in range(nchunks):
-        cur = multi(cur)
-    jax.block_until_ready(cur.ps_a)
-    wall = time.time() - t0
 
+def bench_moloch():
+    import numpy as np
+    from regcm_tpu.config.params import RegCMConfig
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.core.state import StepFlags
+    from regcm_tpu.dynamics.moloch import MolochCore
+    from regcm_tpu.driver import moloch_bdy_from_state
+    from regcm_tpu.physics.suite import PhysicsSuite
+
+    nml = "/root/reference/Testing/test_001.in"
+    cfg = RegCMConfig.from_file(nml) if os.path.exists(nml) \
+        else RegCMConfig()
+    cfg.core.idynamic = 3
+    n = int(os.environ.get("BENCH_MOLOCH_N", "192"))
+    cfg.dim.iy = cfg.dim.jx = n
+    cfg.dim.kz = int(os.environ.get("BENCH_MOLOCH_KZ", "41"))
+    cfg.geo.ds = 3.0
+    cfg.time.dt = 30.0
+    dtype = jnp.float32
+    grid = build_grid(cfg)
+    phys = PhysicsSuite(cfg, grid)
+    core = MolochCore(grid, cfg, dtype=dtype, physics=phys)
+    s = core.initial_state(perturb=0.3)
+    bdy = moloch_bdy_from_state(s)
+    xt = jnp.asarray(0.0, dtype)
+    dt = jnp.asarray(cfg.time.dt, dtype)
+    mu = jnp.full((grid.iy, grid.jx), 0.5, dtype)
+    plain = StepFlags(do_rad=False, do_srf=True, do_cum=True)
+    radf = StepFlags(do_rad=True, do_srf=True, do_cum=True)
+    step = jax.jit(core.step, static_argnames=("flags",))
+    chunk = int(os.environ.get("BENCH_MOLOCH_CHUNK", "5"))
+
+    @jax.jit
+    def multi(sc):
+        def body(carry, _):
+            ns, _ = step(carry, bdy, xt, dt, plain, mu)
+            return ns, ()
+        out, _ = jax.lax.scan(body, sc, None, length=chunk)
+        return out
+
+    nsteps = int(os.environ.get("BENCH_MOLOCH_STEPS", "20"))
+    t_plain = _time_fn(multi, s, max(nsteps // chunk, 1), chunk)
+    radstep = jax.jit(lambda sc: step(sc, bdy, xt, dt, radf, mu)[0])
+    t_rad = _time_fn(radstep, s, 2)
+    nrad = max(int(round(cfg.time.dtrad_sec / cfg.time.dt)), 1)
+    per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad
     gp = cfg.dim.iy * cfg.dim.jx * cfg.dim.kz
-    gps = gp * nsteps / wall
-    print(json.dumps({
-        "metric": "grid-point-steps/s per chip (test_001 hydrostatic)",
-        "value": round(gps, 1),
-        "unit": "gp*steps/s",
-        "vs_baseline": round(gps / BASELINE_GPS, 3),
-    }))
+    _emit(f"MOLOCH 3km {n}x{n}x{cfg.dim.kz} full physics",
+          gp / per_step, cfg.time.dt, per_step,
+          {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad})
+
+
+def main():
+    which = os.environ.get("BENCH_ONLY", "")
+    if which in ("", "hydro"):
+        bench_hydro(True, "test_001 hydrostatic FULL PHYSICS "
+                          "(like-for-like vs reference anchor)")
+    if which in ("", "dyn"):
+        bench_hydro(False, "test_001 hydrostatic dynamics-only")
+    if which in ("", "moloch") and \
+            os.environ.get("BENCH_SKIP_MOLOCH", "") != "1":
+        bench_moloch()
     return 0
 
 

@@ -115,6 +115,25 @@ class PhysicsSuite:
         self.ghg = ghg_concentrations(
             cfg.physics.scenario, float(year),
             int(cfg.physics.extras.get("ghg_year_const", 1950)))
+        # radiation scheme: the full CCM3 column model is the irrtm=0
+        # default (colmod3, Main/radlib/mod_rad_colmod3.F90:207); the
+        # calibrated broadband surrogate stays available as a debug
+        # option (physicsparam extras rad_scheme='broadband')
+        self.rad_scheme = str(cfg.physics.extras.get("rad_scheme",
+                                                     "ccm3"))
+        if self.rad_scheme == "ccm3":
+            from .radiation.ccm3.tables import ghg_mmr
+            # CFC concentrations ~1990s (Meinshausen tables; refine with
+            # the full per-year record alongside RRTMG)
+            self.ghg_mmr = ghg_mmr(dict(
+                co2=self.ghg["co2ppm"], ch4=self.ghg["ch4ppb"],
+                n2o=self.ghg["n2oppb"],
+                cfc11=float(cfg.physics.extras.get("cfc11ppt", 268.0)),
+                cfc12=float(cfg.physics.extras.get("cfc12ppt",
+                                                   503.0))))
+        self.solcon = float(cfg.physics.extras.get("fixedsolarval",
+                                                   1367.0))
+        self.xlat = jnp.asarray(grid.xlat)
 
     # -- deep cumulus dispatch (cu_interface :335-369 + the icup_lnd/ocn
     #    split of Main/mpplib/mod_runparams.F90:109-153) -----------------
@@ -365,13 +384,33 @@ class PhysicsSuite:
         if flags.do_rad:
             coszrs = atms["coszrs"]
             alb = surface_albedo(coszrs, core.grid_lndocn)
-            rad = radiation(tb3, qvb3, pf3, pb3, cldfra, cldlwc,
-                            coszrs, s.tg, alb, **self.ghg)
-            heatrt = rad.heatrt * m_ci
-            sfupd["swsfc"] = rad.swabs_sfc
-            sfupd["lwsfc"] = rad.lwnet_sfc
-            swabs = rad.swabs_sfc
-            lwnet = rad.lwnet_sfc
+            if self.rad_scheme == "ccm3":
+                # CCM3 spectral radiation (colmod3/radctl). Direct and
+                # diffuse SW/LW albedos all take the bulk surface
+                # albedo until the BATS per-band albedo lands; surface
+                # emissivity 0.985; eccf=1 (±3.4% seasonal TSI cycle
+                # pending the orbital module).
+                from .radiation.ccm3.driver import ccm3_radiation
+                qib3 = atms["qhb3"][2] if core.nqx == 5 \
+                    else jnp.zeros_like(qcb3)
+                emis2d = jnp.full_like(psb, 0.985)
+                rad = ccm3_radiation(
+                    tb3, qvb3, qcb3, qib3, pb3, pf3, rh, dzq,
+                    cldfra, cldlwc, coszrs, s.tg, core.grid_lndocn,
+                    self.xlat, alb, alb, alb, alb, alb, alb, emis2d,
+                    self.ghg_mmr, eccf=1.0, solcon=self.solcon,
+                    five_species=(core.nqx == 5))
+                heatrt = rad.heatrt * m_ci
+                swabs = rad.swabs_sfc
+                lwnet = rad.lwnet_sfc
+            else:
+                rad = radiation(tb3, qvb3, pf3, pb3, cldfra, cldlwc,
+                                coszrs, s.tg, alb, **self.ghg)
+                heatrt = rad.heatrt * m_ci
+                swabs = rad.swabs_sfc
+                lwnet = rad.lwnet_sfc
+            sfupd["swsfc"] = swabs
+            sfupd["lwsfc"] = lwnet
         else:
             swabs = s.swsfc
             lwnet = s.lwsfc

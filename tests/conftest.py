@@ -19,3 +19,13 @@ import jax  # noqa: E402
 # update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA-CPU compiles are very slow on the
+# 2-core CI box (~0.1 s/HLO-op); caching jitted steps across test runs
+# cuts suite wall time dramatically after the first cold run.
+_cache = os.environ.get("REGCM_TPU_JAX_CACHE",
+                        os.path.expanduser("~/.cache/regcm_tpu_jax"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

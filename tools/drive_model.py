@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 jax.config.update("jax_platforms", os.environ.get("RCM_PLATFORM", "cpu"))
+from regcm_tpu.utils.jaxcache import enable_cache
+enable_cache()
+
 
 import numpy as np
 
