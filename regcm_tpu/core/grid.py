@@ -110,10 +110,13 @@ def _boundary_distance(ny: int, nx: int) -> np.ndarray:
 
 
 def build_grid(cfg: RegCMConfig, ht: Optional[np.ndarray] = None,
-               landmask: Optional[np.ndarray] = None) -> ModelGrid:
+               landmask: Optional[np.ndarray] = None,
+               dhlake: Optional[np.ndarray] = None) -> ModelGrid:
     """Construct the model grid from a configuration.
 
     ht: surface elevation (m) on the cross grid (iy-1, jx-1); default flat.
+    dhlake: lake depth field (m) on the cross grid (DOMAIN dhlake,
+    used by the Hostetler model when lakemod=1).
     Replicates ``Main/mod_params.F90`` grid setup + ``setup_bdycon``
     (``Main/mod_bdycod.F90:183-278``) relaxation coefficients.
     """
@@ -145,34 +148,61 @@ def build_grid(cfg: RegCMConfig, ht: Optional[np.ndarray] = None,
         lnd = _pad_cross(np.asarray(landmask, dtype=np.float64))
 
     # masks ---------------------------------------------------------------
+    # periodic topologies (band: x wraps; CRM: x and y wrap,
+    # Main/mpplib/mod_mppparam.F90:1131 dim_period): a periodic
+    # direction has no dead padding column/row, no boundary rings and
+    # no relaxation zone.
+    px = bool(geo.i_band or geo.i_crm)
+    py = bool(geo.i_crm)
+    cy = iy if py else iy - 1       # cross extent per direction
+    cx = jx if px else jx - 1
     m_cross = np.zeros((iy, jx))
-    m_cross[: iy - 1, : jx - 1] = 1.0
+    m_cross[:cy, :cx] = 1.0
     m_cross_int = np.zeros((iy, jx))
-    m_cross_int[1 : iy - 2, 1 : jx - 2] = 1.0
+    m_cross_int[slice(None) if py else slice(1, iy - 2),
+                slice(None) if px else slice(1, jx - 2)] = 1.0
     m_cross_int2 = np.zeros((iy, jx))
-    m_cross_int2[2 : iy - 3, 2 : jx - 3] = 1.0
+    m_cross_int2[slice(None) if py else slice(2, iy - 3),
+                 slice(None) if px else slice(2, jx - 3)] = 1.0
     m_dot_int = np.zeros((iy, jx))
-    m_dot_int[1 : iy - 1, 1 : jx - 1] = 1.0
+    m_dot_int[slice(None) if py else slice(1, iy - 1),
+              slice(None) if px else slice(1, jx - 1)] = 1.0
     m_dot_int2 = np.zeros((iy, jx))
-    m_dot_int2[2 : iy - 2, 2 : jx - 2] = 1.0
+    m_dot_int2[slice(None) if py else slice(2, iy - 2),
+               slice(None) if px else slice(2, jx - 2)] = 1.0
 
     e_cross = {}
     e_dot = {}
-    for name, sl in (("south", (0, slice(None))), ("north", (iy - 2, slice(None))),
-                     ("west", (slice(None), 0)), ("east", (slice(None), jx - 2))):
+    for name, sl, per in (("south", (0, slice(None)), py),
+                          ("north", (iy - 2, slice(None)), py),
+                          ("west", (slice(None), 0), px),
+                          ("east", (slice(None), jx - 2), px)):
         m = np.zeros((iy, jx))
-        m[sl] = 1.0
+        if not per:
+            m[sl] = 1.0
         m *= m_cross
         e_cross[name] = m
-    for name, sl in (("south", (0, slice(None))), ("north", (iy - 1, slice(None))),
-                     ("west", (slice(None), 0)), ("east", (slice(None), jx - 1))):
+    for name, sl, per in (("south", (0, slice(None)), py),
+                          ("north", (iy - 1, slice(None)), py),
+                          ("west", (slice(None), 0), px),
+                          ("east", (slice(None), jx - 1), px)):
         m = np.zeros((iy, jx))
-        m[sl] = 1.0
+        if not per:
+            m[sl] = 1.0
         e_dot[name] = m
 
-    ibnd_cross = _boundary_distance(iy - 1, jx - 1)
-    ibnd_cross = np.pad(ibnd_cross, ((0, 1), (0, 1)), mode="edge")
-    ibnd_dot = _boundary_distance(iy, jx)
+    def bdy_dist(ny, nx):
+        """Distance-from-edge counting only non-periodic directions."""
+        dy = np.minimum(np.arange(ny), ny - 1 - np.arange(ny)) \
+            if not py else np.full(ny, ny + nx)
+        dx = np.minimum(np.arange(nx), nx - 1 - np.arange(nx)) \
+            if not px else np.full(nx, ny + nx)
+        return np.minimum(dy[:, None], dx[None, :]) + 1
+
+    ibnd_cross = bdy_dist(cy, cx)
+    ibnd_cross = np.pad(ibnd_cross, ((0, iy - cy), (0, jx - cx)),
+                        mode="edge")
+    ibnd_dot = bdy_dist(iy, jx)
 
     # nudging coefficients (setup_bdycon, Main/mod_bdycod.F90:183-278) ----
     dt = cfg.dtsec
@@ -253,7 +283,11 @@ def build_grid(cfg: RegCMConfig, ht: Optional[np.ndarray] = None,
         ibnd_cross=ibnd_cross, ibnd_dot=ibnd_dot,
         nudge_fc=fc, nudge_gc=gc, nudge_fd=fd, nudge_gd=gd,
         hgfact=hgfact,
-        extras={"nspgx": nspgx, "nspgd": nspgd,
+        extras={"dhlake": (_pad_cross(np.asarray(dhlake, np.float64))
+                           if dhlake is not None
+                           else np.zeros((iy, jx))),
+                "rotcos": g["rotcos"], "rotsin": g["rotsin"],
+                "nspgx": nspgx, "nspgd": nspgd,
                 "fnudge": fnudge, "gnudge": gnudge,
                 "xkhmax": dxsq / (64.0 * dtsec),
                 "dydc": cfg.dyn.adyndif * c.vonkar * c.vonkar * ds * 0.25,

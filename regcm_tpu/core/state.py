@@ -70,6 +70,26 @@ class HydroState(NamedTuple):
     lwsfc: jax.Array     # net downward longwave at surface (W/m2)
     cbmf: jax.Array      # Emanuel cloud-base mass flux memory (kg/m2/s)
     cldefi: jax.Array    # Betts-Miller cloud efficiency memory (mod_cu_bm)
+    # turbulence state: UW TCM prognostic TKE on kz+1 interfaces
+    # (atmstate%tke, advected/diffused/RAW-filtered when ibltyp=2,
+    # mod_tendency.F90:518-544); MYJ (ibltyp=4) stores its per-layer
+    # TKE in tke_a[:kz] without dynamics (atms%tkepbl)
+    tke_a: jax.Array     # (kz+1, iy, jx), uncoupled
+    tke_b: jax.Array
+    # MYJ persistent surface-layer state (thz0, qz0), (2, iy, jx)
+    pbl0: jax.Array
+    # Hostetler lake model state (lakemod=1, mod_ocn_lake.F90):
+    # tlak water temperature profile (°C) on nlak 1 m layers (depth 1
+    # when lakemod=0), ice thickness state hi (m), average ice (m),
+    # snow (mm w.e.), snow age
+    tlak: jax.Array
+    lakhi: jax.Array
+    lakice: jax.Array
+    laksnow: jax.Array
+    laksnag: jax.Array
+    # BATS1e land state, packed (NBATS=10, iy, jx): tgbrd, tlef, taf,
+    # ldew, sncv, snag, ssw, rsw, tsw, gwet (physics/surface/bats.py)
+    bats: jax.Array
 
 
 class BdyState(NamedTuple):
@@ -92,7 +112,7 @@ class BdyState(NamedTuple):
 
 
 def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
-                dtype=jnp.float32) -> HydroState:
+                nlak: int = 1, dtype=jnp.float32) -> HydroState:
     z2 = jnp.zeros((iy, jx), dtype)
     z3 = jnp.zeros((kz, iy, jx), dtype)
     z4 = jnp.zeros((nqx, kz, iy, jx), dtype)
@@ -105,7 +125,14 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
         uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
         # BM efinit: avgefi everywhere (mod_cu_bm.F90:229-236)
-        cldefi=jnp.full((iy, jx), 0.6, dtype))
+        cldefi=jnp.full((iy, jx), 0.6, dtype),
+        tke_a=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
+        tke_b=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
+        pbl0=jnp.zeros((2, iy, jx), dtype),
+        tlak=jnp.zeros((nlak, iy, jx), dtype),
+        lakhi=jnp.full((iy, jx), 0.01, dtype),
+        lakice=z2, laksnow=z2, laksnag=z2,
+        bats=jnp.zeros((10, iy, jx), dtype))
 
 
 def bdy_from_state(s: HydroState) -> BdyState:

@@ -24,6 +24,15 @@ from .utils.calendar import Date
 from .utils.vertical import sigma_levels
 
 
+def lake_layers(cfg) -> int:
+    """Lake profile depth in state: ndpmax-capped 1 m layers when the
+    Hostetler model is on (Share/mod_dynparam.F90:352 ndpmax=200; a
+    100 m cap covers every Testing-corpus lake), else 1 dummy layer."""
+    if cfg.physics.lakemod == 1:
+        return int(cfg.physics.extras.get("lake_ndpmax", 100))
+    return 1
+
+
 def standard_atmosphere_state(grid: ModelGrid, cfg: RegCMConfig,
                               dtype=jnp.float64,
                               perturb: float = 0.0,
@@ -56,7 +65,8 @@ def standard_atmosphere_state(grid: ModelGrid, cfg: RegCMConfig,
                     c.minqq)
     qv = np.minimum(qv, 0.015)
     nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
-    s = zeros_hydro(kz, iy, jx, nqx=nqx, dtype=dtype)
+    s = zeros_hydro(kz, iy, jx, nqx=nqx, nlak=lake_layers(cfg),
+                    dtype=dtype)
     psj = jnp.asarray(ps, dtype)
     tj = jnp.asarray(t * ps[None], dtype)
     qvj = jnp.asarray(qv * ps[None], dtype)
@@ -76,7 +86,8 @@ def nh_initial_state(core, perturb: float = 0.0, seed: int = 0
     base = core.base
     g = core.grid
     iy, jx, kz = g.iy, g.jx, g.kz
-    s = zeros_hydro(kz, iy, jx, nqx=core.nqx, dtype=core.dtype)
+    s = zeros_hydro(kz, iy, jx, nqx=core.nqx,
+                    nlak=lake_layers(core.cfg), dtype=core.dtype)
     ps = base.ps0
     t0 = np.asarray(base.t0)
     if perturb > 0.0:
@@ -152,6 +163,29 @@ class Model:
                 bdy = bdy_from_state(self.state)
             stepfn = self.core.step_nh if cfg.core.idynamic == 2 \
                 else self.core.step
+        if (self.idynamic != 3
+                and getattr(physics, "land_scheme", "") == "bats1e"):
+            # initbats cold start: slmo soil water, Tg-initialized
+            # leaf/subsoil temperatures (mod_bats_common.F90)
+            from .physics.surface.bats import bats_init_state
+            tg0 = np.asarray(self.state.tg)
+            tg0 = np.where(tg0 > 100.0, tg0, 288.0)
+            b0 = bats_init_state(
+                physics.bats_ss_np, self.grid.lndocn, tg0,
+                self.grid.iy, self.grid.jx)
+            self.state = self.state._replace(
+                bats=jnp.asarray(b0, dtype))
+        if cfg.physics.lakemod == 1 and self.idynamic != 3:
+            # initlake (mod_ocn_lake.F90:96): cold-start lake profile
+            from .physics.surface.lake import init_lake
+            dh = np.asarray(self.grid.extras.get(
+                "dhlake", np.zeros((self.grid.iy, self.grid.jx))))
+            tg0 = np.asarray(self.state.tg)
+            tg0 = np.where(tg0 > 100.0, tg0, 288.0)
+            tlak0, _, _ = init_lake(dh, self.grid.xlat, tg0,
+                                    lake_layers(cfg))
+            self.state = self.state._replace(
+                tlak=jnp.asarray(tlak0, dtype))
         self.bdy = bdy
         self.start_date = Date.from_int(cfg.restart.mdate1,
                                         cfg.globdat.calendar)
@@ -177,6 +211,7 @@ class Model:
         self.nstep += 1
         self.xbctime += self.dtsec
         self.date = self.date.add_seconds(self.dtsec)
+        self.last_diags = diags
         return diags
 
     def _flags(self) -> StepFlags:
@@ -213,11 +248,14 @@ class Model:
     # Main/mod_bdycod.F90:654) ------------------------------------------
     def _icbc_to_state_fields(self, rec):
         """Couple an ICBC record into prognostic arrays."""
+        from .dynamics import stencil
         from .dynamics.stencil import cross2dot
         ptop = self.grid.ptop
-        ps = jnp.asarray(rec["ps"], self.dtype) / 1000.0 - ptop  # cb p*
-        ps = fix_cross_pad(ps)
-        psd = cross2dot(ps)
+        with stencil.topology(getattr(self.core, "periodic_x", False),
+                              getattr(self.core, "periodic_y", False)):
+            ps = jnp.asarray(rec["ps"], self.dtype) / 1000.0 - ptop
+            ps = fix_cross_pad(ps)
+            psd = cross2dot(ps)
         t = jnp.asarray(rec["t"], self.dtype) * ps[None]
         qv = jnp.maximum(jnp.asarray(rec["qv"], self.dtype),
                          c.minqq) * ps[None]
@@ -312,30 +350,37 @@ class Model:
         self.nstep = nstep
         self.xbctime = xbctime
 
-    def open_output(self, outdir: Optional[str] = None):
+    def open_output(self, outdir: Optional[str] = None,
+                    append: bool = False):
         from .io.output import OutputStreams
         outdir = outdir or self.cfg.out.dirout
         self.streams = OutputStreams(
-            self, outdir, self.cfg.terrain.domname)
+            self, outdir, self.cfg.terrain.domname, append=append)
         return self.streams
 
     def run_with_output(self, nsteps: int):
-        """Run with output alarms (output(), Main/mod_output.F90:73)."""
+        """Run with output alarms (output(), Main/mod_output.F90:73).
+        STS daily statistics accumulate every step and flush at each
+        day boundary; LAK records follow the SRF alarm."""
         if not hasattr(self, "streams"):
             self.open_output()
         o = self.cfg.out
         atm_every = max(int(o.atmfrq * 3600.0 / self.dtsec), 1)
         srf_every = max(int(o.srffrq * 3600.0 / self.dtsec), 1)
         rad_every = max(int(o.radfrq * 3600.0 / self.dtsec), 1)
-        self.streams.write_atm()
-        self.streams.write_srf()
-        self.streams.write_rad()
+        if self.streams.atm.nrec == 0:
+            self.streams.write_atm()
+            self.streams.write_srf()
+            self.streams.write_rad()
+            self.streams.write_lak()
         for n in range(nsteps):
             self.step()
+            self.streams.sts_accumulate()
             if self.nstep % atm_every == 0:
                 self.streams.write_atm()
             if self.nstep % srf_every == 0:
                 self.streams.write_srf()
+                self.streams.write_lak()
             if self.nstep % rad_every == 0:
                 self.streams.write_rad()
 

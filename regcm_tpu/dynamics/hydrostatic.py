@@ -27,14 +27,20 @@ from ..core.state import HydroState, BdyState, StepFlags, IQV, IQC
 from ..config.params import RegCMConfig
 from ..utils import constants as c
 from ..utils.thermo import pfesat, pfwsat, wlh
-from .stencil import shift, shifte, kshift, cross2dot, dot2cross
+from . import stencil
+from .stencil import (shift, shifte, kshift, cross2dot, dot2cross,
+                      with_topology)
 from .vmodes import make_split_coeffs
 
 
 def fix_cross_pad(a):
-    """Re-replicate the dead padding row/col of a cross-grid array."""
-    a = a.at[..., -1, :].set(a[..., -2, :])
-    a = a.at[..., :, -1].set(a[..., :, -2])
+    """Re-replicate the dead padding row/col of a cross-grid array.
+    Periodic axes (band/CRM topologies) have no dead padding — leave
+    them untouched."""
+    if not stencil.periodic_y():
+        a = a.at[..., -1, :].set(a[..., -2, :])
+    if not stencil.periodic_x():
+        a = a.at[..., :, -1].set(a[..., :, -2])
     return a
 
 
@@ -56,6 +62,11 @@ class HydroCore:
         g = grid
         kz = g.kz
         self.kz = kz
+        # band / CRM periodic topologies (dim_period,
+        # Main/mpplib/mod_mppparam.F90:1131): x wraps for the tropical
+        # band, x and y for the doubly-periodic CRM mode
+        self.periodic_x = bool(cfg.geo.i_band or cfg.geo.i_crm)
+        self.periodic_y = bool(cfg.geo.i_crm)
         # nqx: 2 (qv,qc) for SUBEX; 5 (qv,qc,qr,qi,qs) for the 5-species
         # schemes (Main/mod_params.F90:1359-1363)
         self.nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
@@ -86,10 +97,12 @@ class HydroCore:
         # mod_tendency decouple :906-1009)
         iy, jx = g.iy, g.jx
         d2 = np.zeros((iy, jx))
-        d2[:2, :] = 1.0
-        d2[-2:, :] = 1.0
-        d2[:, :2] = 1.0
-        d2[:, -2:] = 1.0
+        if not self.periodic_y:
+            d2[:2, :] = 1.0
+            d2[-2:, :] = 1.0
+        if not self.periodic_x:
+            d2[:, :2] = 1.0
+            d2[:, -2:] = 1.0
         self.e_d2 = f(d2)
         # boundary-ring cross mask without dead padding
         self.m_cross_ring = f(np.minimum(ec, 1.0))
@@ -157,6 +170,11 @@ class HydroCore:
         self.conf = sx.conf
         self.gnu1 = cfg.dyn.gnu1
         self.gnu2 = cfg.dyn.gnu2
+        # UW TCM prognostic TKE dynamics (ibltyp=2 only,
+        # mod_tendency.F90:518-544,1414-1424,1544-1547)
+        self.ibltyp = cfg.physics.ibltyp
+        self.nuk = float(cfg.physics.extras.get("nuk", 5.0))
+        self.tkemin = 1.0e-3         # uwtkemin (mod_pbl_uwtcm.F90:86)
         self.iboudy = cfg.physics.iboudy
         if self.iboudy == 4:      # sponge weights (mod_bdycod.F90:237)
             self.spwc = f(g.extras["sponge_wc"])
@@ -238,6 +256,54 @@ class HydroCore:
         return -self.xmapf * (uavg2 * fx2 - uavg1 * fx1
                               + vavg2 * fy2 - vavg1 * fy1) * self.m_ci
 
+    def _tke_dyn(self, s, qdot, uavg1, uavg2, vavg1, vavg2, psa, xkc):
+        """UW TKE dynamics tendency (coupled, on kz+1 interfaces):
+        hadv ind=1 of decoupled tke (mod_tendency.F90:1416) + vadv ind=0
+        of tke·p* (:1421-1424) + horizontal diffusion with the nuk
+        coefficient (:1544-1547)."""
+        kz = self.kz
+        tk = s.tke_a                       # uncoupled, (kz+1, iy, jx)
+        tked = jnp.zeros_like(tk)
+        # hadv ind=1: winds interpolated to interior full levels
+        ua1_i = self.twt1[1:] * uavg1[1:] + self.twt2[1:] * uavg1[:-1]
+        ua2_i = self.twt1[1:] * uavg2[1:] + self.twt2[1:] * uavg2[:-1]
+        va1_i = self.twt1[1:] * vavg1[1:] + self.twt2[1:] * vavg1[:-1]
+        va2_i = self.twt1[1:] * vavg2[1:] + self.twt2[1:] * vavg2[:-1]
+        tk_i = tk[1:kz]
+        fx1 = shift(tk_i, 0, -1) + tk_i
+        fx2 = tk_i + shift(tk_i, 0, 1)
+        fy1 = shift(tk_i, -1, 0) + tk_i
+        fy2 = tk_i + shift(tk_i, 1, 0)
+        th_ = -self.xmapf[None] * (ua2_i * fx2 - ua1_i * fx1
+                                   + va2_i * fy2 - va1_i * fy1) \
+            * self.m_ci
+        tked = tked.at[1:kz].add(th_)
+        # vadv ind=0 nk=kzp1 on coupled tke·p* (half-level fluxes)
+        tkps = tk * psa[None]
+        fx0 = 0.5 * (qdot[:kz] + qdot[1:]) * (tkps[:kz] + tkps[1:])
+        dds_i = 1.0 / (self.dsig3[1:] + self.dsig3[:-1])
+        tked = tked.at[1:kz].add((fx0[:-1] - fx0[1:]) * dds_i)
+        # horizontal diffusion ×nuk on the decoupled b-level tke
+        xkcf = jnp.concatenate([xkc[:1], xkc], axis=0)
+        tked = tked + self.nuk * self._diffu_cross(s.tke_b, xkcf)
+        return tked
+
+    def _tke_forecast(self, s, tkedyn, tkephy, rpsa, dt):
+        """Forecast + RAW filter of the UW TKE
+        (mod_tendency.F90:528-543)."""
+        tketen = tkedyn * rpsa[None] + tkephy
+        tkec = jnp.maximum(self.tkemin, s.tke_b + dt * tketen)
+        beta = 0.53
+        dtk = self.gnu2 * (tkec + s.tke_b - 2.0 * s.tke_a)
+        mci = self.m_ci[None] > 0.5
+        tke_b_n = jnp.where(
+            mci, jnp.maximum(s.tke_a + beta * dtk, self.tkemin),
+            s.tke_b)
+        tke_a_n = jnp.where(
+            mci, jnp.maximum(tkec + (beta - 1.0) * dtk, self.tkemin),
+            s.tke_a)
+        return tke_a_n, tke_b_n
+
     def _vadv_flux(self, fint, svv):
         """Generic vertical flux divergence: fint (kz-1,…) interface flux
         values at interior full levels (already × svv);
@@ -249,6 +315,7 @@ class HydroCore:
         fp = jnp.concatenate([zt, fint, zt], axis=-3)
         return (fp[..., :-1, :, :] - fp[..., 1:, :, :]) / self.dsig3
 
+    @with_topology
     def step(self, s: HydroState, bdy: BdyState, xt, dt,
              flags: StepFlags = StepFlags(), coszrs=None
              ) -> Tuple[HydroState, Dict[str, jax.Array]]:
@@ -663,6 +730,16 @@ class HydroCore:
         qx_a = jnp.concatenate([qv_a_n[None], qh_a_n])
         qx_b = jnp.concatenate([qv_b_n[None], qh_b_n])
 
+        # UW TCM prognostic TKE (ibltyp=2): advect/diffuse/forecast
+        tkephy = sfupd.pop("_tkephy", None)
+        if self.ibltyp == 2:
+            tkedyn = self._tke_dyn(s, qdot, uavg1, uavg2, vavg1, vavg2,
+                                   psa, xkc)
+            tke_a_n, tke_b_n = self._tke_forecast(
+                s, tkedyn, tkephy if tkephy is not None else 0.0,
+                rpsa, dt)
+            sfupd = dict(sfupd, tke_a=tke_a_n, tke_b=tke_b_n)
+
         ns = s._replace(
             ps_a=psa_n, ps_b=psb_n, u_a=u_a_n, u_b=u_b_n,
             v_a=v_a_n, v_b=v_b_n, t_a=t_a_n, t_b=t_b_n,
@@ -677,6 +754,7 @@ class HydroCore:
         return ns, diags
 
     # ------------------------------------------------------------------
+    @with_topology
     def step_nh(self, s: HydroState, bdy: BdyState, xt, dt,
                 flags: StepFlags = StepFlags(), coszrs=None
                 ) -> Tuple[HydroState, Dict[str, jax.Array]]:
@@ -1072,6 +1150,14 @@ class HydroCore:
 
         qx_a = jnp.concatenate([qv_a_n[None], qh_a_n])
         qx_b = jnp.concatenate([qv_b_n[None], qh_b_n])
+        tkephy = sfupd.pop("_tkephy", None)
+        if self.ibltyp == 2:
+            tkedyn = self._tke_dyn(s, qdot, uavg1, uavg2, vavg1, vavg2,
+                                   psa, xkc)
+            tke_a_n, tke_b_n = self._tke_forecast(
+                s, tkedyn, tkephy if tkephy is not None else 0.0,
+                rpsa, dt)
+            sfupd = dict(sfupd, tke_a=tke_a_n, tke_b=tke_b_n)
         ns = s._replace(
             u_a=u_a_n, u_b=u_b_n, v_a=v_a_n, v_b=v_b_n,
             t_a=t_a_n, t_b=t_b_n, qx_a=qx_a, qx_b=qx_b,
@@ -1093,30 +1179,33 @@ class HydroCore:
         the decoupled interior value recoupled with the edge p*.
         ucx/vcx are 4-dot cross-averaged winds = windavg/4.
 
-        q may carry leading batch axes (species), ellipsis-indexed."""
+        q may carry leading batch axes (species), ellipsis-indexed.
+        Periodic directions (band/CRM) have no flow edges."""
         iy, jx = q.shape[-2], q.shape[-1]
         rps = 1.0 / ps
         qdec = q * rps
-        # west: cross col 0, interior col 1 (wue/wui windavg > 0 inflow)
-        ext = qext[..., 0] if qext is not None else 0.0
-        val = jnp.where(ucx[:, :, 0] > 0.0, ext,
-                        qdec[..., 1] * ps[:, 0])
-        q = q.at[..., 0].set(val)
-        # east: cross col jx-2, interior jx-3 (inflow if u < 0)
-        ext = qext[..., jx - 2] if qext is not None else 0.0
-        val = jnp.where(ucx[:, :, jx - 2] < 0.0, ext,
-                        qdec[..., jx - 3] * ps[:, jx - 2])
-        q = q.at[..., jx - 2].set(val)
-        # south: cross row 0, interior 1 (inflow if v > 0)
-        ext = qext[..., 0, :] if qext is not None else 0.0
-        val = jnp.where(vcx[:, 0, :] > 0.0, ext,
-                        qdec[..., 1, :] * ps[0, :])
-        q = q.at[..., 0, :].set(val)
-        # north: cross row iy-2, interior iy-3 (inflow if v < 0)
-        ext = qext[..., iy - 2, :] if qext is not None else 0.0
-        val = jnp.where(vcx[:, iy - 2, :] < 0.0, ext,
-                        qdec[..., iy - 3, :] * ps[iy - 2, :])
-        q = q.at[..., iy - 2, :].set(val)
+        if not self.periodic_x:
+            # west: cross col 0, interior col 1 (windavg > 0 inflow)
+            ext = qext[..., 0] if qext is not None else 0.0
+            val = jnp.where(ucx[:, :, 0] > 0.0, ext,
+                            qdec[..., 1] * ps[:, 0])
+            q = q.at[..., 0].set(val)
+            # east: cross col jx-2, interior jx-3 (inflow if u < 0)
+            ext = qext[..., jx - 2] if qext is not None else 0.0
+            val = jnp.where(ucx[:, :, jx - 2] < 0.0, ext,
+                            qdec[..., jx - 3] * ps[:, jx - 2])
+            q = q.at[..., jx - 2].set(val)
+        if not self.periodic_y:
+            # south: cross row 0, interior 1 (inflow if v > 0)
+            ext = qext[..., 0, :] if qext is not None else 0.0
+            val = jnp.where(vcx[:, 0, :] > 0.0, ext,
+                            qdec[..., 1, :] * ps[0, :])
+            q = q.at[..., 0, :].set(val)
+            # north: cross row iy-2, interior iy-3 (inflow if v < 0)
+            ext = qext[..., iy - 2, :] if qext is not None else 0.0
+            val = jnp.where(vcx[:, iy - 2, :] < 0.0, ext,
+                            qdec[..., iy - 3, :] * ps[iy - 2, :])
+            q = q.at[..., iy - 2, :].set(val)
         return q
 
     # ------------------------------------------------------------------
@@ -1340,6 +1429,7 @@ class HydroCore:
         ddiv = ddiv * self.m_c
         return jnp.einsum("nk,kyx->nyx", self.sp_zmatxr, ddiv)
 
+    @with_topology
     def init_split_storage(self, s: HydroState):
         """Initial dstor/hstor from the b-level state (spinit,
         Main/mod_split.F90:180-240)."""

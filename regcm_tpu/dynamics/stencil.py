@@ -7,17 +7,71 @@ sharded over a device mesh — the TPU-native equivalent of the reference's
 """
 from __future__ import annotations
 
+import contextlib
+import functools
+
 import jax.numpy as jnp
+
+# Trace-time topology flags (band / CRM modes). The reference's
+# set_nproc builds an x-periodic (tropical band, i_band=1) or doubly
+# periodic (CRM, i_crm=1) cartesian topology
+# (Main/mpplib/mod_mppparam.F90:1131 dim_period); here periodic
+# directions turn pad/slice shifts into jnp.roll, which the XLA SPMD
+# partitioner lowers to wrap-around collective permutes on the mesh.
+_PX = False     # periodic in x (band or CRM)
+_PY = False     # periodic in y (CRM)
+
+
+@contextlib.contextmanager
+def topology(periodic_x: bool = False, periodic_y: bool = False):
+    """Set the stencil topology for code traced within this context."""
+    global _PX, _PY
+    old = (_PX, _PY)
+    _PX, _PY = bool(periodic_x), bool(periodic_y)
+    try:
+        yield
+    finally:
+        _PX, _PY = old
+
+
+def with_topology(fn):
+    """Method decorator: trace the body under the core's grid topology
+    (core.periodic_x/periodic_y attributes, default non-periodic)."""
+    @functools.wraps(fn)
+    def wrapped(self, *a, **k):
+        with topology(getattr(self, "periodic_x", False),
+                      getattr(self, "periodic_y", False)):
+            return fn(self, *a, **k)
+    return wrapped
+
+
+def periodic_x() -> bool:
+    return _PX
+
+
+def periodic_y() -> bool:
+    return _PY
 
 
 def shift(a, dy: int, dx: int, fill=0.0):
-    """out[..., y, x] = a[..., y+dy, x+dx]; out-of-range → fill.
+    """out[..., y, x] = a[..., y+dy, x+dx]; out-of-range → fill (or
+    wraps around on a periodic axis).
 
     dy/dx are static Python ints (|d| small). Matches reading the
     neighbour's halo cell in the reference's exchanged arrays.
     """
     if dy == 0 and dx == 0:
         return a
+    if _PX and dx != 0:
+        a = jnp.roll(a, -dx, axis=-1)
+        dx = 0
+        if dy == 0:
+            return a
+    if _PY and dy != 0:
+        a = jnp.roll(a, -dy, axis=-2)
+        dy = 0
+        if dx == 0:
+            return a
     ny, nx = a.shape[-2], a.shape[-1]
     pad = [(0, 0)] * (a.ndim - 2)
     py = (max(-dy, 0), max(dy, 0))
@@ -29,9 +83,20 @@ def shift(a, dy: int, dx: int, fill=0.0):
 
 
 def shifte(a, dy: int, dx: int):
-    """Shift with edge-replication fill (for smooth padding)."""
+    """Shift with edge-replication fill (for smooth padding); periodic
+    axes wrap instead."""
     if dy == 0 and dx == 0:
         return a
+    if _PX and dx != 0:
+        a = jnp.roll(a, -dx, axis=-1)
+        dx = 0
+        if dy == 0:
+            return a
+    if _PY and dy != 0:
+        a = jnp.roll(a, -dy, axis=-2)
+        dy = 0
+        if dx == 0:
+            return a
     ny, nx = a.shape[-2], a.shape[-1]
     pad = [(0, 0)] * (a.ndim - 2)
     py = (max(-dy, 0), max(dy, 0))

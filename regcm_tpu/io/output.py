@@ -1,11 +1,27 @@
-"""Model output streams (ATM / SRF / RAD).
+"""Model output streams (ATM / SRF / RAD / STS / LAK).
 
 Mirrors the reference stream system (stream ids
-``Main/mpplib/mod_ncout.F90:143-152``, packing ``Main/mod_output.F90:73``)
-with CF/CORDEX variable names (``ua``, ``va``, ``ta``, ``hus``, ``clw``,
-``ps``, ``ts``, ``pr``, …) so reference post-processing tooling reads the
-files. One file per stream per run; records appended on the stream's
-alarm (atmfrq/srffrq/radfrq).
+``Main/mpplib/mod_ncout.F90:143-152``, variable inventory
+``Main/mpplib/mod_outvars.F90``, packing ``Main/mod_output.F90:73``)
+with CF/CORDEX variable names so reference post-processing tooling
+reads the files:
+
+- ATM: ua/va (earth-rotated with uvrot2d, ``Main/mod_output.F90:263``),
+  ta, hus, clw (+clr/cli/cls for the 5-species schemes), wa (omega),
+  ps, tke (TKE PBL schemes);
+- SRF: ts, tpr/prcv (total/convective precip), evspsbl, hfss, uvdrag,
+  scv (snow), smu/smr (BATS soil water), tlef, rsns, rlns, ps;
+- RAD: rsns, rlns, tendh (full radiative heating);
+- STS: daily station statistics (tgmax/tgmin, pcpavg/pcpmax,
+  psavg/psmin, sund) accumulated host-side per step and flushed at
+  each simulated-day boundary (``sts_*`` of mod_outvars);
+- LAK (lakemod=1): lake surface temperature, ice, snow and the tlake
+  profile.
+
+Restart semantics: ``append=True`` reopens the existing stream files
+and appends records (``doing_restart``, ``Main/mod_output.F90:99``) so
+an interrupted+restarted chain produces the same files as an
+uninterrupted run.
 """
 from __future__ import annotations
 
@@ -26,87 +42,256 @@ def _hours_since_epoch(date: Date) -> float:
 
 
 class OutputStreams:
-    """ATM/SRF/RAD NetCDF streams for a model run."""
+    """ATM/SRF/RAD/STS[/LAK] NetCDF streams for a model run."""
 
-    def __init__(self, model, outdir: str, domname: str = "domain"):
+    def __init__(self, model, outdir: str, domname: str = "domain",
+                 append: bool = False):
         self.model = model
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
         g = model.grid
         iy, jx, kz = g.iy, g.jx, g.kz
+        self.nqx = getattr(model.core, "nqx", 2)
+        self.has_tke = model.cfg.physics.ibltyp in (2, 4) \
+            and model.idynamic != 3
+        self.has_bats = getattr(model.core.physics, "land_scheme",
+                                "") == "bats1e" \
+            if model.core.physics is not None else False
+        self.has_lake = model.cfg.physics.lakemod == 1 \
+            and model.idynamic != 3
         dims = {"iy": iy - 1, "jx": jx - 1, "kz": kz}
+        if self.has_lake:
+            dims["ndpmax"] = int(model.state.tlak.shape[0])
         date0 = model.start_date
         tag = f"{date0.year:04d}{date0.month:02d}{date0.day:02d}"
         attrs = {"title": "regcm_tpu model output",
                  "projection": model.cfg.geo.iproj,
                  "experiment": domname}
+        # wind rotation (uvrot2d): model-grid → earth-relative
+        self.rotcos = np.asarray(g.extras.get(
+            "rotcos", np.ones((iy, jx))))[: iy - 1, : jx - 1]
+        self.rotsin = np.asarray(g.extras.get(
+            "rotsin", np.zeros((iy, jx))))[: iy - 1, : jx - 1]
 
-        def mk(stream):
+        def mk(stream, extra_dims=()):
             w = NCWriter(os.path.join(
-                outdir, f"{domname}_{stream}.{tag}00.nc"), dims, attrs)
-            w.def_static("sigma", ("kz",), g.hsigma, "1",
-                         "sigma at model layers")
-            w.def_static("xlat", ("iy", "jx"),
-                         g.xlat[:iy - 1, :jx - 1], "degrees_north",
-                         "Latitude", "latitude")
-            w.def_static("xlon", ("iy", "jx"),
-                         g.xlon[:iy - 1, :jx - 1], "degrees_east",
-                         "Longitude", "longitude")
-            w.def_static("topo", ("iy", "jx"),
-                         g.ht[:iy - 1, :jx - 1] / 9.80665, "m",
-                         "Surface elevation", "surface_altitude")
+                outdir, f"{domname}_{stream}.{tag}00.nc"), dims, attrs,
+                append=append)
+            if not append:
+                w.def_static("sigma", ("kz",), g.hsigma, "1",
+                             "sigma at model layers")
+                w.def_static("xlat", ("iy", "jx"),
+                             g.xlat[:iy - 1, :jx - 1], "degrees_north",
+                             "Latitude", "latitude")
+                w.def_static("xlon", ("iy", "jx"),
+                             g.xlon[:iy - 1, :jx - 1], "degrees_east",
+                             "Longitude", "longitude")
+                w.def_static("topo", ("iy", "jx"),
+                             g.ht[:iy - 1, :jx - 1] / 9.80665, "m",
+                             "Surface elevation", "surface_altitude")
             return w
 
+        def tv(w, name, dims_, units, lname, sname=""):
+            if append:
+                w.bind_time_var(name)
+            else:
+                w.def_time_var(name, dims_, units, lname, sname)
+
         self.atm = mk("ATM")
-        self.atm.def_time_var("ua", ("kz", "iy", "jx"), "m s-1",
-                              "Eastward wind", "eastward_wind")
-        self.atm.def_time_var("va", ("kz", "iy", "jx"), "m s-1",
-                              "Northward wind", "northward_wind")
-        self.atm.def_time_var("ta", ("kz", "iy", "jx"), "K",
-                              "Air temperature", "air_temperature")
-        self.atm.def_time_var("hus", ("kz", "iy", "jx"), "kg kg-1",
-                              "Specific humidity", "specific_humidity")
-        self.atm.def_time_var("clw", ("kz", "iy", "jx"), "kg kg-1",
-                              "Cloud liquid water",
-                              "mass_fraction_of_cloud_liquid_water_in_air")
-        self.atm.def_time_var("ps", ("iy", "jx"), "hPa",
-                              "Surface pressure", "surface_air_pressure")
+        tv(self.atm, "ua", ("kz", "iy", "jx"), "m s-1",
+           "Eastward wind", "eastward_wind")
+        tv(self.atm, "va", ("kz", "iy", "jx"), "m s-1",
+           "Northward wind", "northward_wind")
+        tv(self.atm, "ta", ("kz", "iy", "jx"), "K",
+           "Air temperature", "air_temperature")
+        tv(self.atm, "hus", ("kz", "iy", "jx"), "kg kg-1",
+           "Specific humidity", "specific_humidity")
+        tv(self.atm, "clw", ("kz", "iy", "jx"), "kg kg-1",
+           "Cloud liquid water",
+           "mass_fraction_of_cloud_liquid_water_in_air")
+        if self.nqx == 5:
+            tv(self.atm, "clr", ("kz", "iy", "jx"), "kg kg-1",
+               "Rain water mixing ratio")
+            tv(self.atm, "cli", ("kz", "iy", "jx"), "kg kg-1",
+               "Cloud ice mixing ratio")
+            tv(self.atm, "cls", ("kz", "iy", "jx"), "kg kg-1",
+               "Snow mixing ratio")
+        if self.has_tke:
+            tv(self.atm, "tke", ("kz", "iy", "jx"), "m2 s-2",
+               "Turbulent kinetic energy")
+        tv(self.atm, "wa", ("kz", "iy", "jx"), "hPa s-1",
+           "Pressure vertical velocity", "lagrangian_tendency_of_air_pressure")
+        tv(self.atm, "ps", ("iy", "jx"), "hPa",
+           "Surface pressure", "surface_air_pressure")
 
         self.srf = mk("SRF")
-        self.srf.def_time_var("ts", ("iy", "jx"), "K",
-                              "Ground temperature", "surface_temperature")
-        self.srf.def_time_var("pr", ("iy", "jx"), "kg m-2 s-1",
-                              "Total precipitation flux",
-                              "precipitation_flux")
-        self.srf.def_time_var("hfls", ("iy", "jx"), "kg m-2 s-1",
-                              "Surface moisture flux",
-                              "water_evaporation_flux")
-        self.srf.def_time_var("hfss", ("iy", "jx"), "W m-2",
-                              "Surface sensible heat flux",
-                              "surface_upward_sensible_heat_flux")
-        self.srf.def_time_var("ps", ("iy", "jx"), "hPa",
-                              "Surface pressure", "surface_air_pressure")
+        tv(self.srf, "ts", ("iy", "jx"), "K",
+           "Ground temperature", "surface_temperature")
+        tv(self.srf, "tpr", ("iy", "jx"), "kg m-2 s-1",
+           "Total precipitation flux", "precipitation_flux")
+        tv(self.srf, "prcv", ("iy", "jx"), "kg m-2 s-1",
+           "Convective precipitation flux",
+           "convective_precipitation_flux")
+        tv(self.srf, "evspsbl", ("iy", "jx"), "kg m-2 s-1",
+           "Surface moisture flux", "water_evaporation_flux")
+        tv(self.srf, "hfss", ("iy", "jx"), "W m-2",
+           "Surface sensible heat flux",
+           "surface_upward_sensible_heat_flux")
+        tv(self.srf, "uvdrag", ("iy", "jx"), "kg m-2 s-1",
+           "Surface drag stress coefficient")
+        tv(self.srf, "rsns", ("iy", "jx"), "W m-2",
+           "Surface absorbed shortwave",
+           "surface_net_downward_shortwave_flux")
+        tv(self.srf, "rlns", ("iy", "jx"), "W m-2",
+           "Surface net longwave",
+           "surface_net_downward_longwave_flux")
+        tv(self.srf, "ps", ("iy", "jx"), "hPa",
+           "Surface pressure", "surface_air_pressure")
+        if self.has_bats:
+            tv(self.srf, "scv", ("iy", "jx"), "kg m-2",
+               "Snow amount", "surface_snow_amount")
+            tv(self.srf, "smu", ("iy", "jx"), "kg m-2",
+               "Upper-layer soil water", "lwe_thickness_of_soil_moisture_content")
+            tv(self.srf, "smr", ("iy", "jx"), "kg m-2",
+               "Root-zone soil water")
+            tv(self.srf, "tlef", ("iy", "jx"), "K",
+               "Canopy leaf temperature")
 
         self.rad = mk("RAD")
-        self.rad.def_time_var("rsns", ("iy", "jx"), "W m-2",
-                              "Surface absorbed shortwave",
-                              "surface_net_downward_shortwave_flux")
-        self.rad.def_time_var("rlns", ("iy", "jx"), "W m-2",
-                              "Surface net longwave",
-                              "surface_net_downward_longwave_flux")
-        self.rad.def_time_var("tendh", ("kz", "iy", "jx"), "K s-1",
-                              "Radiative heating rate")
-        self._last_rain = 0.0
+        tv(self.rad, "rsns", ("iy", "jx"), "W m-2",
+           "Surface absorbed shortwave",
+           "surface_net_downward_shortwave_flux")
+        tv(self.rad, "rlns", ("iy", "jx"), "W m-2",
+           "Surface net longwave",
+           "surface_net_downward_longwave_flux")
+        tv(self.rad, "tendh", ("kz", "iy", "jx"), "K s-1",
+           "Radiative heating rate")
 
+        # STS daily statistics (sts_* of mod_outvars.F90)
+        self.sts = mk("STS")
+        for nm, units, ln in (
+                ("tgmax", "K", "Daily max ground temperature"),
+                ("tgmin", "K", "Daily min ground temperature"),
+                ("pcpavg", "kg m-2 s-1", "Daily mean precipitation"),
+                ("pcpmax", "kg m-2 s-1", "Daily max precipitation rate"),
+                ("psavg", "hPa", "Daily mean surface pressure"),
+                ("psmin", "hPa", "Daily min surface pressure"),
+                ("sund", "s", "Daily sunshine duration")):
+            tv(self.sts, nm, ("iy", "jx"), units, ln)
+
+        if self.has_lake:
+            self.lak = mk("LAK")
+            tv(self.lak, "tg", ("iy", "jx"), "K",
+               "Lake surface temperature")
+            tv(self.lak, "ice", ("iy", "jx"), "m", "Lake ice thickness")
+            tv(self.lak, "scv", ("iy", "jx"), "kg m-2",
+               "Snow on lake ice")
+            tv(self.lak, "tlake", ("ndpmax", "iy", "jx"), "degC",
+               "Lake temperature profile")
+        else:
+            self.lak = None
+
+        self._last_rain = 0.0
+        self._last_rainc = 0.0
+        self._sts_reset()
+        self._sts_day = None
+
+    # -- STS accumulation ------------------------------------------------
+    def _sts_reset(self):
+        self._sts_n = 0
+        self._sts = {}
+
+    def sts_accumulate(self):
+        """Per-step daily-statistics accumulation (host side); call once
+        per model step. Flushes a record at each day boundary."""
+        m = self.model
+        if self._sts_day is None:
+            self._sts_day = (m.date.year, m.date.month, m.date.day)
+        day = (m.date.year, m.date.month, m.date.day)
+        if day != self._sts_day:
+            self.write_sts()
+            self._sts_day = day
+        s = m.state
+        iy, jx = m.grid.iy, m.grid.jx
+        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
+        tg = cut(s.tg)
+        if m.idynamic == 3:
+            ps = cut(m.core.mkslice(s.t, s.pai, s.qx, s.u, s.v,
+                                    s.w)["ps2d"]) / 100.0
+            rain = cut(s.rainnc + s.rainc)
+        else:
+            ps = (cut(s.ps_a) + m.grid.ptop) * 10.0
+            rain = cut(s.rainnc + s.rainc)
+        d = self._sts
+        if not d:
+            d["tgmax"] = tg.copy()
+            d["tgmin"] = tg.copy()
+            d["psmin"] = ps.copy()
+            d["_ps"] = ps * 0.0
+            d["_rain0"] = rain.copy()
+            d["_rainprev"] = rain.copy()
+            d["pcpmax"] = np.zeros_like(tg)
+            d["sund"] = np.zeros_like(tg)
+        d["tgmax"] = np.maximum(d["tgmax"], tg)
+        d["tgmin"] = np.minimum(d["tgmin"], tg)
+        d["psmin"] = np.minimum(d["psmin"], ps)
+        d["_ps"] += ps
+        rate = (rain - d["_rainprev"]) / max(m.dtsec, 1.0)
+        d["pcpmax"] = np.maximum(d["pcpmax"], rate)
+        d["_rainprev"] = rain
+        # sunshine: SW at surface above 120 W/m2 (WMO definition)
+        d["sund"] += np.where(cut(s.swsfc) > 120.0, m.dtsec, 0.0)
+        self._sts_n += 1
+
+    def write_sts(self):
+        if not self._sts:
+            return
+        m = self.model
+        d = self._sts
+        n = max(self._sts_n, 1)
+        secs = n * m.dtsec
+        self.sts.write_record(_hours_since_epoch(m.date), {
+            "tgmax": d["tgmax"], "tgmin": d["tgmin"],
+            "pcpavg": (d["_rainprev"] - d["_rain0"]) / secs,
+            "pcpmax": d["pcpmax"],
+            "psavg": d["_ps"] / n, "psmin": d["psmin"],
+            "sund": d["sund"]})
+        self._sts_reset()
+
+    # -- per-alarm writers ----------------------------------------------
     def write_atm(self):
         m = self.model
         dec = m.decoupled()
         iy, jx = m.grid.iy, m.grid.jx
-        cut = lambda a: a[..., : iy - 1, : jx - 1]
-        self.atm.write_record(_hours_since_epoch(m.date), {
-            "ua": cut(dec["u"]), "va": cut(dec["v"]),
-            "ta": cut(dec["t"]), "hus": cut(dec["qv"]),
-            "clw": cut(dec["qc"]), "ps": cut(dec["ps"])})
+        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
+        # uvrot2d (mod_output.F90:263): model-relative → earth-relative
+        u, v = cut(dec["u"]), cut(dec["v"])
+        ue = u * self.rotcos - v * self.rotsin
+        ve = v * self.rotcos + u * self.rotsin
+        rec = {"ua": ue, "va": ve, "ta": cut(dec["t"]),
+               "hus": cut(dec["qv"]), "clw": cut(dec["qc"]),
+               "ps": cut(dec["ps"])}
+        s = m.state
+        if m.idynamic == 3:
+            # zita core: output resolved w on half levels as proxy
+            rec["wa"] = cut(0.5 * (np.asarray(s.w)[:-1]
+                                   + np.asarray(s.w)[1:]))
+            if self.nqx == 5:
+                rec["clr"] = cut(s.qx[2])
+                rec["cli"] = cut(s.qx[3])
+                rec["cls"] = cut(s.qx[4])
+        else:
+            rps = 1.0 / np.asarray(s.ps_a)
+            if self.nqx == 5:
+                rec["clr"] = cut(s.qx_a[2] * rps[None])
+                rec["cli"] = cut(s.qx_a[3] * rps[None])
+                rec["cls"] = cut(s.qx_a[4] * rps[None])
+            if self.has_tke:
+                rec["tke"] = cut(s.tke_a[:m.grid.kz])
+            om = getattr(m, "last_diags", {}).get("omega", None)
+            rec["wa"] = cut(om) * 10.0 if om is not None else \
+                np.zeros((m.grid.kz, iy - 1, jx - 1))
+        self.atm.write_record(_hours_since_epoch(m.date), rec)
 
     def write_srf(self):
         m = self.model
@@ -115,12 +300,22 @@ class OutputStreams:
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
         rain = np.asarray(s.rainnc) + np.asarray(s.rainc)
+        rainc = np.asarray(s.rainc)
         frq = m.cfg.out.srffrq * 3600.0
         pr = (cut(rain) - self._last_rain) / max(frq, 1.0)
+        prc = (cut(rainc) - self._last_rainc) / max(frq, 1.0)
         self._last_rain = cut(rain)
-        self.srf.write_record(_hours_since_epoch(m.date), {
-            "ts": cut(s.tg), "pr": pr, "hfls": cut(s.qfx),
-            "hfss": cut(s.hfx), "ps": cut(dec["ps"])})
+        self._last_rainc = cut(rainc)
+        rec = {"ts": cut(s.tg), "tpr": pr, "prcv": prc,
+               "evspsbl": cut(s.qfx), "hfss": cut(s.hfx),
+               "uvdrag": cut(s.uvdrag), "rsns": cut(s.swsfc),
+               "rlns": cut(s.lwsfc), "ps": cut(dec["ps"])}
+        if self.has_bats:
+            rec["scv"] = cut(s.bats[4])
+            rec["smu"] = cut(s.bats[6])
+            rec["smr"] = cut(s.bats[7])
+            rec["tlef"] = cut(s.bats[1])
+        self.srf.write_record(_hours_since_epoch(m.date), rec)
 
     def write_rad(self):
         m = self.model
@@ -131,7 +326,21 @@ class OutputStreams:
             "rsns": cut(s.swsfc), "rlns": cut(s.lwsfc),
             "tendh": cut(s.heatrt)})
 
+    def write_lak(self):
+        if self.lak is None:
+            return
+        m = self.model
+        s = m.state
+        iy, jx = m.grid.iy, m.grid.jx
+        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
+        self.lak.write_record(_hours_since_epoch(m.date), {
+            "tg": cut(s.tlak[0] + 273.15), "ice": cut(s.lakice),
+            "scv": cut(s.laksnow), "tlake": cut(s.tlak)})
+
     def close(self):
         self.atm.close()
         self.srf.close()
         self.rad.close()
+        self.sts.close()
+        if self.lak is not None:
+            self.lak.close()

@@ -3,13 +3,15 @@
 jax ports of the ``Main/cloudlib/`` scheme family selected by
 ``icldfrac`` (dispatch at ``Main/mod_micro_interface.F90:254-268``):
 1 Xu-Randall, 3 Gultepe-Isaac, 4 Texeira, 5 Tompkins, 6 ECHAM5
-(0/default = SUBEX-Sundqvist lives in physics/micro/subex.py; 2 Thompson
-scale-aware is a later round, needing the ice-saturation tables).
+(0/default = SUBEX-Sundqvist lives in physics/micro/subex.py;
+2 Thompson scale-aware with its own liquid/ice Flatau saturation).
 All elementwise on (kz, iy, jx) arrays.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ...utils import constants as c
 
 
 def xuran_cldfrac(p, qc, qv, qs, rh, rhmin=0.01, rhmax=1.01):
@@ -77,11 +79,19 @@ def echam5_cldfrac(qc, rh, p, ps):
 
 
 def cldfrac_dispatch(icldfrac, tb3, pb3, qvb3, qcb3, rh, qs, rh0, ps2d,
-                     ds_km):
+                     ds_km, **kwargs):
     """icldfrac dispatch (mod_micro_interface.F90:254-268)."""
     from ..micro.subex import subex_cldfrac
     if icldfrac == 1:
         return xuran_cldfrac(pb3, qcb3, qvb3, qs, rh)
+    if icldfrac == 2:
+        import jax.numpy as _jnp
+        rho = pb3 / (287.0 * tb3)
+        z3 = _jnp.zeros_like(qcb3)
+        lnd = kwargs.get("landmask")
+        return thomp_cldfrac(pb3, tb3, rho, qvb3, qcb3, z3, z3,
+                             lnd if lnd is not None
+                             else _jnp.ones_like(pb3[0]), ds_km)
     if icldfrac == 3:
         return gulisa_cldfrac(qvb3, qs, qcb3, ds_km)
     if icldfrac == 4:
@@ -91,3 +101,75 @@ def cldfrac_dispatch(icldfrac, tb3, pb3, qvb3, qcb3, rh, qs, rh0, ps2d,
     if icldfrac == 6:
         return echam5_cldfrac(qcb3, rh, pb3, ps2d)
     return subex_cldfrac(tb3, pb3, qvb3, qcb3, rh, rh0)
+
+
+def thomp_cldfrac(p, t, rho, qv, qc, qs, qi, landmask, gridkm):
+    """Thompson scale-aware cloud fraction (icldfrac=2,
+    Main/cloudlib/mod_cloud_thomp.F90:47-185): Mocko-Cotton/Sundqvist
+    with grid-spacing-dependent RH thresholds (land vs ocean) and a
+    liquid/ice-blended saturation; fractional clouds are removed above
+    the diagnosed tropopause and below the well-mixed PBL top
+    (find_cloudlayers cfr edits, :240-257). The reference's fake
+    lwp/iwp insertion only alters discarded local copies of qc/qi —
+    cfr is the sole output, reproduced here.
+
+    Inputs (kz, iy, jx), k=0 at the model top; landmask 1=land."""
+    kz = t.shape[0]
+    tc = t - c.tzero
+    # Flatau-style saturation polynomials of the reference (rslf/rsif)
+    x = jnp.maximum(-80.0, tc)
+    esl = (0.611583699e3 + x * (0.444606896e2 + x * (0.143177157e1
+           + x * (0.264224321e-1 + x * (0.299291081e-3
+           + x * (0.203154182e-5 + x * (0.702620698e-8
+           + x * (0.379534310e-11 + x * (-0.321582393e-13)))))))))
+    esi = (0.609868993e3 + x * (0.499320233e2 + x * (0.184672631e1
+           + x * (0.402737184e-1 + x * (0.565392987e-3
+           + x * (0.521693933e-5 + x * (0.307839583e-7
+           + x * (0.105785160e-9 + x * 0.161444444e-12))))))))
+    qvsw = c.ep2 * esl / jnp.maximum(p - esl, 1.0)
+    qvsi = c.ep2 * esi / jnp.maximum(p - esi, 1.0)
+    qvsat = jnp.where(tc >= -12.0, qvsw,
+                      jnp.where(tc < -30.0, qvsi,
+                                qvsw - (qvsw - qvsi) * (-12.0 - tc)
+                                / 18.0))
+    rhum = jnp.clip(qv / qvsat, 0.0, 1.0)
+    rh_00l = 0.839 + jnp.sqrt(1.0 / (50.0 + gridkm ** 3 * 0.5))
+    rh_00o = 0.879 + jnp.sqrt(1.0 / (100.0 + gridkm ** 2))
+    rh00 = jnp.where(landmask[None] > 0.5, rh_00l, rh_00o)
+    warm = jnp.maximum(0.0, 1.0 - jnp.sqrt(
+        jnp.maximum(1.0 - rhum, 0.0)
+        / jnp.maximum(1.0 - rh00, 1e-10)))
+    rhi_max = jnp.maximum(rhum + 1e-6, qvsw / jnp.maximum(qvsi, 1e-12))
+    cold = jnp.maximum(0.0, ((rh00 - rhum)
+                             / (rh00 - rhi_max)) ** 2)
+    cfr = jnp.where(tc >= -12.0, warm,
+                    jnp.where((tc > -70.0) & (rhum > rh_00o), cold,
+                              0.0))
+    cfr = jnp.clip(cfr, 0.0, 1.0)
+    cfr = jnp.where(qc + qi > 1.0e-4, 1.0, cfr)
+
+    # tropopause: topmost level (scanning up) where dθ/dz over 2 levels
+    # < 10/1500 K/m within 4-19 km (find_cloudlayers :227-238)
+    theta = t * (1.0e5 / p) ** c.rovcp
+    ht = 44307.692 * (1.0 - (p / c.stdp) ** 0.190)
+    dth = theta[:-2] - theta[2:]             # θ(k) − θ(k+2), k upper
+    dht = ht[:-2] - ht[2:]
+    grad = dth / jnp.maximum(dht, 1.0)
+    is_tr = (grad < 10.0 / 1500.0) & (ht[2:] > 4000.0) \
+        & (ht[2:] < 19000.0)
+    karr = jnp.arange(kz - 2)[:, None, None]
+    ktr = jnp.min(jnp.where(is_tr, karr, kz), axis=0)
+    kk = jnp.arange(kz)[:, None, None]
+    frac = (cfr > 0.0) & (cfr < 0.999)
+    cfr = jnp.where((kk < ktr[None]) & frac, 0.0, cfr)
+
+    # well-mixed PBL: zero fractional clouds below the first stable
+    # layer above the surface (:248-257); stability dθ > 0.05e-3·dz
+    dz = jnp.concatenate([ht[:-1] - ht[1:], (ht[-2:-1] - ht[-1:])],
+                         axis=0)
+    stab = (theta[:-1] - theta[1:]) > 0.05e-3 * dz[1:]
+    m12 = tc > -12.0
+    kar1 = jnp.arange(kz - 1)[:, None, None]
+    kbot = jnp.max(jnp.where(stab & m12[1:], kar1 + 1, 1), axis=0)
+    cfr = jnp.where((kk > kbot[None]) & frac, 0.0, cfr)
+    return cfr

@@ -29,8 +29,8 @@ from ..dynamics.stencil import cross2dot
 # at model build, never a silent no-op.
 SUPPORTED = dict(
     icup={0, 1, 2, 3, 4},          # Kuo/Grell/BM/Emanuel (5/6 planned)
-    ibltyp={0, 1, 3},              # Holtslag / GFS (UW TCM/MYJ planned)
-    ipptls={0, 1, 3},              # SUBEX / WSM5 (nogtom planned)
+    ibltyp={0, 1, 2, 3, 4},        # Holtslag / UW TCM / GFS / MYJ
+    ipptls={0, 1, 2, 3},           # SUBEX / nogtom / WSM5
     iocnflx={1, 2, 3},             # BATS / Zeng / COARE
     icldfrac={0, 1, 2, 3, 4, 5, 6},
     irrtm={0},                     # CCM3 only (RRTMG later round)
@@ -67,6 +67,11 @@ def validate_physics(cfg):
             "icup=1 (Kuo) requires the sigma-p cores' deferred qv "
             "vertical advection staging and is not available with the "
             "MOLOCH core (idynamic=3)")
+    if cfg.core.idynamic == 3 and p.ibltyp == 2:
+        raise ValueError(
+            "ibltyp=2 (UW TCM) needs the MOLOCH WAF TKE advection "
+            "path, which is not wired yet; use ibltyp 1/3/4 with "
+            "idynamic=3")
 
 
 class PhysicsSuite:
@@ -134,6 +139,45 @@ class PhysicsSuite:
         self.solcon = float(cfg.physics.extras.get("fixedsolarval",
                                                    1367.0))
         self.xlat = jnp.asarray(grid.xlat)
+        # BATS1e land model (mod_bats_*, the reference's default land
+        # scheme): per-point landuse/texture from the DOMAIN fields
+        # (grid.extras lveg/ltex; defaults: short grass over land,
+        # ocean class 15 over water, loam texture)
+        self.land_scheme = str(cfg.physics.extras.get("land_scheme",
+                                                      "bats1e"))
+        if cfg.core.idynamic == 3 and self.land_scheme == "bats1e":
+            # MOLOCH state carries no BATS pack yet — use the
+            # force-restore surrogate there this round
+            self.land_scheme = "lite"
+        if self.land_scheme == "bats1e":
+            import numpy as _np
+            from .surface.bats import soil_static
+            lveg = _np.asarray(grid.extras.get(
+                "lveg", _np.where(grid.lndocn > 0.5, 2, 15)))
+            ltex = _np.asarray(grid.extras.get(
+                "ltex", _np.full((grid.iy, grid.jx), 6)))
+            self.bats_ss_np = soil_static(lveg, ltex)
+            self.bats_ss = {k: jnp.asarray(v)
+                            for k, v in self.bats_ss_np.items()}
+        # Hostetler lake model (lakemod=1, mod_ocn_lake.F90): static
+        # depth index / extinction / mask from the DOMAIN lake-depth
+        # field (grid.extras["dhlake"], m)
+        self.lakemod = cfg.physics.lakemod
+        if self.lakemod == 1:
+            if cfg.core.idynamic == 3:
+                raise ValueError("lakemod=1 is not wired for the "
+                                 "MOLOCH core yet (idynamic=3)")
+            import numpy as _np
+            from .surface.lake import init_lake
+            dh = _np.asarray(grid.extras.get(
+                "dhlake", _np.zeros((grid.iy, grid.jx))))
+            nlak = int(cfg.physics.extras.get("lake_ndpmax", 100))
+            _, eta, idep = init_lake(dh, grid.xlat,
+                                     _np.full(dh.shape, 288.0), nlak)
+            self.lake_eta = jnp.asarray(eta)
+            self.lake_idep = jnp.asarray(idep)
+            self.lakmsk = jnp.asarray(
+                ((dh >= 2.0) & (grid.lndocn < 0.5)).astype(float))
 
     # -- deep cumulus dispatch (cu_interface :335-369 + the icup_lnd/ocn
     #    split of Main/mpplib/mod_runparams.F90:109-153) -----------------
@@ -342,7 +386,7 @@ class PhysicsSuite:
         fcc = cldfrac_dispatch(
             self.cfg.physics.icldfrac, tb3, pb3, qvb3, qcb3, rh,
             atms["qsb3"], core.rh0[None], atms["ps2d"],
-            float(self.cfg.geo.ds))
+            float(self.cfg.geo.ds), landmask=core.grid_lndocn)
         cldlwc, cldfra = combine_clouds(fcc, qcb3, rho, tb3,
                                         cldfra_cum, cldlwc_cum)
         if self.cfg.physics.ipptls == 1:
@@ -353,7 +397,30 @@ class PhysicsSuite:
             qcphy = qcphy + out.qcten * m_ci
             precip = out.precip * m_ci
             sfupd["rainnc"] = s.rainnc + precip * core.dtsec
-        elif self.cfg.physics.ipptls == 3:
+        elif self.cfg.physics.ipptls == 2:
+            # Nogherotto-Tompkins 5-species implicit microphysics
+            # (nogtom, Main/microlib/mod_micro_nogtom.F90:358).
+            # Convective detrainment staging (qdetr) requires the
+            # Tiedtke-style detrainment diagnostic — zero until that
+            # lands (the reference also runs with zero qdetr for
+            # schemes that do not provide it).
+            from .micro.nogtom import nogtom
+            qhb3 = atms["qhb3"]
+            qx5 = jnp.stack([qvb3, qhb3[0], qhb3[1], qhb3[2],
+                             qhb3[3]])
+            out = nogtom(tb3, qx5, pb3, pf3, rho,
+                         cldfra, jnp.zeros_like(tb3), s.heatrt,
+                         atms["omega_pa"], core.grid_lndocn,
+                         core.dtsec)
+            pfac = cpl[None] * m_ci
+            tphy = tphy + out.tten * pfac
+            qvphy = qvphy + out.qxten[0] * pfac
+            qcphy = qcphy + out.qxten[1] * pfac
+            qrphy = qrphy + out.qxten[2] * pfac
+            qiphy = qiphy + out.qxten[3] * pfac
+            qsphy = qsphy + out.qxten[4] * pfac
+            precip = (out.rainnc + out.snownc) * m_ci
+            sfupd["rainnc"] = s.rainnc + precip * core.dtsec
             # WSM5 (Main/mod_micro_interface.F90 microscheme → wsm5,
             # Main/microlib/mod_micro_wsm5.F90:214). Tendencies are
             # (new−old)·p*/dt exactly like ptfac coupling (wsm5:296-307).
@@ -384,20 +451,41 @@ class PhysicsSuite:
         if flags.do_rad:
             coszrs = atms["coszrs"]
             alb = surface_albedo(coszrs, core.grid_lndocn)
+            if self.land_scheme == "bats1e":
+                # BATS two-band direct/diffuse land albedo
+                # (albedobats → mod_bats_albedo.F90:77), ocean albedo
+                # from the bulk zenith formula
+                from .surface.bats import bats_albedo, fseas_fn
+                swdr, lwdr, swdf, lwdf = bats_albedo(
+                    coszrs, s.bats[0], s.bats[6], s.bats[4],
+                    s.bats[5], self.bats_ss, core.grid_lndocn)
+                lmm = core.grid_lndocn > 0.5
+                aldirs = jnp.where(lmm, swdr, alb)
+                aldifs = jnp.where(lmm, swdf, alb)
+                aldirl = jnp.where(lmm, lwdr, alb)
+                aldifl = jnp.where(lmm, lwdf, alb)
+                emis2d_b = jnp.where(
+                    lmm, self.bats_ss["lndemiss"]
+                    - self.bats_ss["seasemi"] * fseas_fn(s.bats[0]),
+                    0.985)
+                albvs = jnp.where(lmm, self.bats_ss["albvgs"], alb)
+                albvl = jnp.where(lmm, self.bats_ss["albvgl"], alb)
+            else:
+                aldirs = aldifs = aldirl = aldifl = alb
+                albvs = albvl = alb
+                emis2d_b = jnp.full_like(psb, 0.985)
             if self.rad_scheme == "ccm3":
-                # CCM3 spectral radiation (colmod3/radctl). Direct and
-                # diffuse SW/LW albedos all take the bulk surface
-                # albedo until the BATS per-band albedo lands; surface
-                # emissivity 0.985; eccf=1 (±3.4% seasonal TSI cycle
-                # pending the orbital module).
+                # CCM3 spectral radiation (colmod3/radctl) with the
+                # BATS per-band albedos; eccf=1 (±3.4% seasonal TSI
+                # cycle pending the orbital module).
                 from .radiation.ccm3.driver import ccm3_radiation
                 qib3 = atms["qhb3"][2] if core.nqx == 5 \
                     else jnp.zeros_like(qcb3)
-                emis2d = jnp.full_like(psb, 0.985)
                 rad = ccm3_radiation(
                     tb3, qvb3, qcb3, qib3, pb3, pf3, rh, dzq,
                     cldfra, cldlwc, coszrs, s.tg, core.grid_lndocn,
-                    self.xlat, alb, alb, alb, alb, alb, alb, emis2d,
+                    self.xlat, aldirs, aldifs, aldirl, aldifl,
+                    albvs, albvl, emis2d_b,
                     self.ghg_mmr, eccf=1.0, solcon=self.solcon,
                     five_species=(core.nqx == 5))
                 heatrt = rad.heatrt * m_ci
@@ -430,6 +518,25 @@ class PhysicsSuite:
                 swabs, lwnet, precip, self.cfg.time.dtsrf,
                 iocnflx=self.cfg.physics.iocnflx)
             hfx, qfx, uvdrag, tg = sf.hfx, sf.qfx, sf.uvdrag, sf.tg
+            if self.land_scheme == "bats1e":
+                # full BATS1e over land points (vecbats,
+                # Main/batslib/mod_bats_common.F90:318)
+                from .surface.bats import vecbats
+                rhox2d_b = atms["ps2d"] / (c.rgas * tb3[kz - 1])
+                qs_spec = qvb3[kz - 1] / (1.0 + qvb3[kz - 1])
+                prcp_tot = precip + cu["prate"] * m_ci
+                bo = vecbats(
+                    tb3[kz - 1], qs_spec, atms["ubx3"][kz - 1],
+                    atms["vbx3"][kz - 1], za[kz - 1], rhox2d_b,
+                    atms["ps2d"], prcp_tot, swabs, -lwnet, swabs,
+                    atms["coszrs"], s.tg, s.bats, self.bats_ss,
+                    core.grid_lndocn, self.cfg.time.dtsrf)
+                lm_b = core.grid_lndocn > 0.5
+                hfx = jnp.where(lm_b, bo.sent, hfx)
+                qfx = jnp.where(lm_b, jnp.maximum(bo.evpr, 0.0), qfx)
+                uvdrag = jnp.where(lm_b, bo.drag, uvdrag)
+                tg = jnp.where(lm_b, bo.tgrd, tg)
+                sfupd["bats"] = bo.bats
             if slab:
                 # update_slabocean (mod_regcm_interface path,
                 # mod_slabocean.F90:95): mixed-layer energy budget with
@@ -444,6 +551,27 @@ class PhysicsSuite:
                     do_restore_sst=sp.do_restore_sst,
                     sst_restore_timescale=sp.sst_restore_timescale)
                 tg = sst_new
+            if self.lakemod == 1:
+                # lake points override the ocean fluxes (lakedrv,
+                # mod_ocn_lake.F90:203; llake dispatch
+                # mod_ocn_common.F90:61)
+                from .surface.lake import lakedrv
+                rhox2d = atms["ps2d"] / (c.rgas * tb3[kz - 1])
+                lk = lakedrv(
+                    tb3[kz - 1], qvb3[kz - 1], atms["ubx3"][kz - 1],
+                    atms["vbx3"][kz - 1], za[kz - 1], swabs, lwnet,
+                    precip, s.hfx, s.qfx, rhox2d, atms["ps2d"],
+                    s.tlak, s.lakhi, s.lakice, s.laksnow, s.laksnag,
+                    tg, self.lake_eta, self.lake_idep, self.lakmsk,
+                    self.xlat, self.cfg.time.dtsrf)
+                m = self.lakmsk > 0.5
+                hfx = jnp.where(m, lk.sent, hfx)
+                qfx = jnp.where(m, jnp.maximum(lk.evpr, 0.0), qfx)
+                uvdrag = jnp.where(m, lk.drag, uvdrag)
+                tg = jnp.where(m, lk.tg, tg)
+                sfupd.update(tlak=lk.tlak, lakhi=lk.lakhi,
+                             lakice=lk.lakice, laksnow=lk.laksnow,
+                             laksnag=lk.laksnag)
             sfupd.update(hfx=hfx, qfx=qfx, uvdrag=uvdrag, tg=tg)
 
         # -- PBL (:1799-1819) --------------------------------------------
@@ -478,6 +606,36 @@ class PhysicsSuite:
             else:
                 uphy = uphy + out.uten
                 vphy = vphy + out.vten
+        elif self.cfg.physics.ibltyp == 2:
+            # UW TCM (uwtcm, Main/pbllib/mod_pbl_uwtcm.F90:137):
+            # prognostic-TKE moist turbulence. TKE comes from the
+            # advected b-level state; the physics TKE tendency goes
+            # back through sfupd["_tkephy"] for the dycore forecast.
+            from .uw_dispatch import run_uwtcm
+            out = run_uwtcm(self, core, atms, s, dt)
+            tphy = tphy + out["tten"] * cpl[None] * m_ci
+            qvphy = qvphy + out["qvten"] * cpl[None] * m_ci
+            qcphy = qcphy + out["qcten"] * cpl[None] * m_ci
+            if core.nqx == 5:
+                qiphy = qiphy + out["qiten"] * cpl[None] * m_ci
+            utenx = utenx + out["uten"]
+            vtenx = vtenx + out["vten"]
+            sfupd["_tkephy"] = out["tketen"]
+        elif self.cfg.physics.ibltyp == 4:
+            # MYJ (myjpbl, Main/pbllib/mod_pbl_myj.F90:177): level-2.5
+            # TKE kept as per-layer persistent state (atms%tkepbl), not
+            # advected by the dycore.
+            from .uw_dispatch import run_myj
+            out = run_myj(self, core, atms, s, flags, dt)
+            tphy = tphy + out["tten"] * cpl[None] * m_ci
+            qvphy = qvphy + out["qvten"] * cpl[None] * m_ci
+            qcphy = qcphy + out["qcten"] * cpl[None] * m_ci
+            if core.nqx == 5:
+                qiphy = qiphy + out["qiten"] * cpl[None] * m_ci
+            utenx = utenx + out["uten"]
+            vtenx = vtenx + out["vten"]
+            sfupd["tke_a"] = out["tke_a"]
+            sfupd["pbl0"] = out["pbl0"]
         elif self.cfg.physics.ibltyp == 3:
             # GFS Hong-Pan PBL (pbl_gfs, Main/pbllib/mod_pbl_gfs.F90:98)
             from .pbl.gfs import moninq

@@ -100,12 +100,48 @@ def generate_synthetic_icbc(cfg: RegCMConfig, topo: np.ndarray,
 
 
 class ICBCReader:
-    """Reads ICBC files (read_icbc, Main/mod_ncio.F90:835)."""
+    """Reads ICBC files (read_icbc, Main/mod_ncio.F90:835,
+    variable binding :642-672).
+
+    Handles both this package's files and reference-preprocessor
+    (``PreProc/ICBC/mod_write.F90``) files: variables ps/ts/u/v/t/qv
+    with layout (time, kz, iy, jx); reference files store ps in hPa
+    (mod_write.F90:168) and time with an arbitrary "hours/days since"
+    epoch — both converted on read."""
 
     def __init__(self, path: str, calendar: str = "gregorian"):
-        self.data = read_nc(path)
+        self.data, self.attrs = read_nc(path, with_attrs=True)
         self.calendar = calendar
-        self.times = self.data["time"]             # hours since 1949-12-01
+        times = np.asarray(self.data["time"], dtype=np.float64)
+        # decode the epoch from the units attribute (CF style)
+        tunits = self.attrs.get("time", {}).get("units", "")
+        if isinstance(tunits, bytes):
+            tunits = tunits.decode()
+        scale = 3600.0
+        epoch = Date(1949, 12, 1, calendar=calendar)
+        if tunits:
+            parts = tunits.split("since")
+            if len(parts) == 2:
+                unit = parts[0].strip().lower()
+                scale = {"hours": 3600.0, "days": 86400.0,
+                         "seconds": 1.0,
+                         "minutes": 60.0}.get(unit, 3600.0)
+                dstr = parts[1].strip().split()[0]
+                try:
+                    y, mo, dy = [int(x) for x in dstr.split("-")[:3]]
+                    epoch = Date(y, mo, dy, calendar=calendar)
+                except Exception:
+                    pass
+        ref = Date(1949, 12, 1, calendar=calendar)
+        off_h = (epoch - ref) / 3600.0
+        self.times = times * (scale / 3600.0) + off_h
+        # ps units: reference ICBC writes hPa (mod_write.F90:168)
+        ps = np.asarray(self.data["ps"])
+        punits = self.attrs.get("ps", {}).get("units", "")
+        if isinstance(punits, bytes):
+            punits = punits.decode()
+        if punits in ("hPa", "mb", "millibar") or np.nanmax(ps) < 2000.0:
+            self.data["ps"] = ps * 100.0
 
     def record_at(self, date: Date) -> Dict[str, np.ndarray]:
         hours = (date - Date(1949, 12, 1, calendar=self.calendar)) / 3600.0

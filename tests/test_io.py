@@ -87,3 +87,68 @@ def test_restart_bit_exact(cfg, tmp_path):
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-7,
                                    rtol=0, err_msg=name)
     assert ma.date == mb.date
+
+
+def test_output_restart_append(cfg, tmp_path):
+    """Restart continues the SAME output files (doing_restart,
+    Main/mod_output.F90:99): an interrupted+restarted chain appends
+    records rather than truncating, and the ATM time axis is the
+    uninterrupted one. Also covers the expanded variable sets
+    (tpr/prcv/uvdrag on SRF, wa on ATM) and the STS daily stream."""
+    import copy
+    cfg = copy.deepcopy(cfg)
+    cfg.time.dt = 900.0
+    cfg.out.atmfrq = 0.5       # record every 2 steps
+    cfg.out.srffrq = 0.5
+    cfg.out.radfrq = 0.5
+    outdir = str(tmp_path / "out")
+    m = _model(cfg, tmp_path)
+    m.open_output(outdir)
+    m.run_with_output(4)
+    m.streams.close()
+    sav = str(tmp_path / "mid_SAV.nc")
+    m.save_restart(sav)
+
+    # restart: new model object, same files, append mode
+    m2 = _model(cfg, tmp_path)
+    m2.load_restart(sav)
+    m2.open_output(outdir, append=True)
+    n0 = m2.streams.atm.nrec
+    assert n0 >= 1
+    m2.run_with_output(4)
+    m2.streams.close()
+
+    files = sorted(os.listdir(outdir))
+    atm = read_nc(os.path.join(outdir,
+                               [f for f in files if "ATM" in f][0]))
+    assert atm["time"].shape[0] > n0        # records appended
+    t = atm["time"]
+    assert np.all(np.diff(t) > 0)           # monotone time axis
+    srf = read_nc(os.path.join(outdir,
+                               [f for f in files if "SRF" in f][0]))
+    for v in ("tpr", "prcv", "uvdrag", "rsns", "rlns", "ts"):
+        assert v in srf, f"SRF missing {v}"
+    assert any("STS" in f for f in files)
+
+
+def test_sts_daily_statistics(cfg, tmp_path):
+    """STS accumulators: max/min/avg update per step and flush a
+    record on the day boundary (sts_* vars, mod_outvars.F90)."""
+    m = _model(cfg, tmp_path)
+    m.open_output(str(tmp_path / "sts"))
+    st = m.streams
+    for _ in range(3):
+        m.step()
+        st.sts_accumulate()
+    d = st._sts
+    assert d["tgmax"].shape == (cfg.dim.iy - 1, cfg.dim.jx - 1)
+    assert np.all(d["tgmax"] >= d["tgmin"])
+    st.write_sts()                           # forced flush
+    st.close()
+    files = os.listdir(str(tmp_path / "sts"))
+    sts = read_nc(os.path.join(str(tmp_path / "sts"),
+                               [f for f in files if "STS" in f][0]))
+    for v in ("tgmax", "tgmin", "pcpavg", "pcpmax", "psavg", "psmin",
+              "sund"):
+        assert v in sts
+    assert np.isfinite(sts["tgmax"]).all()

@@ -513,3 +513,313 @@ def test_gfs_pbl():
     # the integral matches beta-scaled input within 20%
     colh = float(jnp.sum(out.tau[0] * delk[0]) / jnp.sum(delk[0]))
     assert colh > 0.0
+
+
+def test_uwtcm_pbl():
+    """UW TCM (mod_pbl_uwtcm.F90:137): prognostic-TKE moist turbulence.
+    Surface heat flux + shear generate TKE above the floor; implicit
+    diffusion mixes the unstable near-surface layer upward; thl/qw
+    conservation closes on the surface fluxes."""
+    from regcm_tpu.physics.pbl.uwtcm import uwtcm, UWTKEMIN
+    kz, iy, jx = 18, 3, 3
+    sig = (np.arange(kz) + 0.5) / kz
+    p0 = 101325.0
+    ones = np.ones((kz, iy, jx))
+    patm = (sig[:, None, None] * (p0 - 5000) + 5000) * ones
+    sigf = np.arange(kz + 1) / kz
+    patmf = (sigf[:, None, None] * (p0 - 5000) + 5000) \
+        * np.ones((kz + 1, iy, jx))
+    t = (288.0 - 60 * (1 - sig))[:, None, None] * ones
+    # superadiabatic near-surface layer → convectively unstable
+    t[-1] += 2.0
+    qv = np.maximum(1e-6, 0.008 * sig ** 2)[:, None, None] * ones
+    qc = np.zeros_like(t)
+    u = 8.0 * ones
+    v = np.zeros_like(t)
+    tv = t * (1 + 0.608 * qv)
+    dzl = 287.0 * tv / 9.81 * np.log(patmf[1:]
+                                     / np.maximum(patmf[:-1], 1.0))
+    zq = np.zeros((kz + 1, iy, jx))
+    for k in range(kz - 1, -1, -1):
+        zq[k] = zq[k + 1] + dzl[k]
+    za = 0.5 * (zq[:-1] + zq[1:])
+    dzq = zq[:-1] - zq[1:]
+    tke0 = np.full((kz + 1, iy, jx), UWTKEMIN)
+    heatrt = np.zeros_like(t)
+    tg = t[-1] + 2.0
+    qfx = np.full((iy, jx), 6e-5)
+    hfx = np.full((iy, jx), 120.0)
+    uvdrag = np.full((iy, jx), 0.05)
+    lnd = np.ones((iy, jx))
+    ktr = np.full((iy, jx), 2, dtype=np.int32)
+    out = uwtcm(*[jnp.asarray(a) for a in
+                  (t, qv, qc, np.zeros_like(t), u, v, za, zq, dzq,
+                   patm, patmf, tke0, heatrt, tg, qv[-1], qfx, hfx,
+                   uvdrag, lnd, ktr)], dt=300.0)
+    for f in out:
+        assert np.all(np.isfinite(np.asarray(f)))
+    # TKE grows above the floor near the surface
+    tke1 = np.asarray(tke0 + 300.0 * out.tketen)
+    assert tke1[kz - 2:, 1, 1].max() > 2.0 * UWTKEMIN
+    # surface heating warms the lowest layer (flux convergence)
+    assert float(out.tten[kz - 1, 1, 1]) > 0.0
+    # moisture flux moistens the column integral
+    dq = np.asarray(out.qvten + out.qcten)
+    colint = (dq * np.asarray(dzq) * np.asarray(patm)
+              / (287.0 * np.asarray(t))).sum(axis=0)
+    np.testing.assert_allclose(colint, 6e-5, rtol=0.1)
+    # PBL height is positive and below the tropopause
+    assert np.all(np.asarray(out.zpbl) >= 0.0)
+
+
+def test_myj_pbl():
+    """MYJ (mod_pbl_myj.F90:177): TKE production from shear+buoyancy,
+    implicit scalar/momentum diffusion with ρ weighting."""
+    from regcm_tpu.physics.pbl.myj import myjpbl, EPSQ2
+    kz, iy, jx = 18, 3, 3
+    sig = (np.arange(kz) + 0.5) / kz
+    p0 = 101325.0
+    ones = np.ones((kz, iy, jx))
+    patm = (sig[:, None, None] * (p0 - 5000) + 5000) * ones
+    sigf = np.arange(kz + 1) / kz
+    patmf = (sigf[:, None, None] * (p0 - 5000) + 5000) \
+        * np.ones((kz + 1, iy, jx))
+    t = (288.0 - 60 * (1 - sig))[:, None, None] * ones
+    t[-1] += 1.5
+    qv = np.maximum(1e-6, 0.008 * sig ** 2)[:, None, None] * ones
+    # sheared wind profile drives TKE production
+    u = (20.0 * (1 - sig))[:, None, None] * ones + 5.0
+    v = np.zeros_like(t)
+    tv = t * (1 + 0.608 * qv)
+    dzl = 287.0 * tv / 9.81 * np.log(patmf[1:]
+                                     / np.maximum(patmf[:-1], 1.0))
+    zq = np.zeros((kz + 1, iy, jx))
+    for k in range(kz - 1, -1, -1):
+        zq[k] = zq[k + 1] + dzl[k]
+    ht = np.zeros((iy, jx))
+    tke = np.full((kz, iy, jx), 0.5 * EPSQ2)
+    tg = t[-1] + 1.0
+    uvdrag = np.full((iy, jx), 0.05)
+    lnd = np.ones((iy, jx))
+    out = myjpbl(*[jnp.asarray(a) for a in
+                   (t, qv, np.zeros_like(t), np.zeros_like(t), u, v,
+                    zq, ht, patm, patmf, tke, tg, qv[-1], uvdrag, lnd,
+                    tg * 1.02, qv[-1])], dt=300.0, first=True)
+    for f in out:
+        assert np.all(np.isfinite(np.asarray(f)))
+    # shear produced TKE above the background in the lower troposphere
+    assert float(np.asarray(out.tkepbl)[kz - 4:, 1, 1].max()) \
+        > 0.5 * EPSQ2 * 1.05
+    # momentum is diffused down-gradient: surface layer accelerates or
+    # upper shear layer decelerates
+    assert float(np.abs(np.asarray(out.uten)).max()) > 0.0
+    assert np.all(np.asarray(out.zpbl) >= 0.0)
+
+
+def test_hostetler_lake():
+    """Hostetler lake (mod_ocn_lake.F90): open-water column warms under
+    net heating, convective mixer removes static instability, lake
+    points override ocean fluxes in the Model run (test_012 config)."""
+    from regcm_tpu.physics.surface.lake import (
+        lakedrv, init_lake, _lakemixer, _density)
+    iy, jx, nlak = 6, 6, 40
+    dh = np.zeros((iy, jx))
+    dh[2:4, 2:4] = 30.0                      # a 30 m lake
+    xlat = np.full((iy, jx), 45.0)
+    tg0 = np.full((iy, jx), 288.0)
+    tlak, eta, idep = init_lake(dh, xlat, tg0, nlak)
+    assert tlak.shape == (nlak, iy, jx)
+    assert float(eta[2, 2]) == -0.60         # 30 m → mesotrophic-ish
+    assert int(idep[2, 2]) == 30
+
+    # convective mixer: cold-over-warm profile is statically unstable
+    # (density decreasing downward) → mixing toward uniform
+    prof = jnp.asarray(np.where(np.arange(nlak)[:, None, None] < 5,
+                                3.0, 10.0) * np.ones((nlak, iy, jx)))
+    kbot = jnp.asarray(idep, jnp.int32) - 1
+    kmask = jnp.arange(nlak)[:, None, None] <= kbot[None]
+    mixed = _lakemixer(nlak, 600.0, prof, kmask, kbot)
+    d0 = np.asarray(_density(prof))[:30, 2, 2]
+    d1 = np.asarray(_density(mixed))[:30, 2, 2]
+    # the concentrated unstable density jump at the 3/10 °C interface
+    # is spread out by the downward mixing cascade
+    jump0 = np.maximum(d0[:-1] - d0[1:], 0.0).max()
+    jump1 = np.maximum(d1[:-1] - d1[1:], 0.0).max()
+    assert jump1 < 0.3 * jump0
+    # heat conserved by the mixer (volume-weighted, surf layer = 1 m)
+    vol = np.ones(30)
+    np.testing.assert_allclose(
+        (np.asarray(mixed)[:30, 2, 2] * vol).sum(),
+        (np.asarray(prof)[:30, 2, 2] * vol).sum(), rtol=1e-12)
+
+    # one lakedrv step: strong solar heating warms the surface layer
+    lakmsk = jnp.asarray((dh >= 2.0).astype(float))
+    out = lakedrv(
+        jnp.full((iy, jx), 290.0),           # tatm
+        jnp.full((iy, jx), 0.008),           # qv
+        jnp.full((iy, jx), 3.0), jnp.zeros((iy, jx)),   # u, v
+        jnp.full((iy, jx), 40.0),            # za
+        jnp.full((iy, jx), 600.0),           # swabs
+        jnp.full((iy, jx), -60.0),           # lwnet
+        jnp.zeros((iy, jx)),                 # prcp
+        jnp.full((iy, jx), 10.0),            # prior sent
+        jnp.full((iy, jx), 3e-5),            # prior evpr
+        jnp.full((iy, jx), 1.2),             # rhox
+        jnp.full((iy, jx), 101325.0),        # sfps
+        jnp.asarray(tlak), jnp.full((iy, jx), 0.01),
+        jnp.zeros((iy, jx)), jnp.zeros((iy, jx)), jnp.zeros((iy, jx)),
+        tg0, jnp.asarray(eta), jnp.asarray(idep), lakmsk,
+        jnp.asarray(xlat), 600.0)
+    assert np.all(np.isfinite(np.asarray(out.tlak)))
+    # surface water warmed by the absorbed radiation
+    assert float(out.tlak[0, 2, 2]) > float(tlak[0, 2, 2])
+    # non-lake points untouched
+    np.testing.assert_allclose(np.asarray(out.tlak[:, 0, 0]),
+                               tlak[:, 0, 0])
+    assert float(out.tg[2, 2]) > 273.0
+    # fluxes recomputed from the lake surface
+    assert np.isfinite(float(out.sent[2, 2]))
+    assert float(out.drag[2, 2]) > 0.0
+
+
+def test_lake_in_model():
+    """lakemod=1 wired through the PhysicsSuite (test_012's selector):
+    the Model runs with a lake and updates the lake profile state."""
+    from regcm_tpu.config.params import RegCMConfig
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_012.in")
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 12, 14, 14
+    cfg.geo.ds = 60.0
+    cfg.time.dt = 150.0
+    assert cfg.physics.lakemod == 1
+    iy, jx = cfg.dim.iy, cfg.dim.jx
+    lnd = np.ones((iy - 1, jx - 1))
+    lnd[4:7, 4:7] = 0.0                      # water
+    dh = np.zeros((iy - 1, jx - 1))
+    dh[4:7, 4:7] = 25.0                      # lake depth
+    grid = build_grid(cfg, landmask=lnd, dhlake=dh)
+    m = Model(cfg, grid=grid, dtype=jnp.float64)
+    t0 = np.asarray(m.state.tlak[:, 5, 5]).copy()
+    for _ in range(3):
+        m.step()
+    assert m.check_finite()
+    t1 = np.asarray(m.state.tlak[:, 5, 5])
+    # lake profile engaged (surface layer changed on the dtsrf alarm)
+    assert np.any(np.abs(t1 - t0) > 0.0)
+    # lake surface temperature drives tg at the lake point
+    tg = float(m.state.tg[5, 5])
+    assert 260.0 < tg < 310.0
+
+
+def test_bats1e_land():
+    """BATS1e (mod_bats_bndry/leaftemp/drag/albedo): energy-balance
+    sanity on a vegetated column — warm sunlit surface produces upward
+    sensible+latent heat; soil water is drawn down by transpiration;
+    snow appears for cold precipitating points; albedo responds to
+    snow and soil moisture."""
+    from regcm_tpu.physics.surface.bats import (
+        soil_static, bats_init_state, vecbats, bats_albedo,
+        BATS_FIELDS)
+    iy, jx = 4, 4
+    lveg = np.full((iy, jx), 2)      # short grass
+    lveg[0, :] = 8                   # desert row
+    ltex = np.full((iy, jx), 6)
+    ss_np = soil_static(lveg, ltex)
+    ss = {k: jnp.asarray(v) for k, v in ss_np.items()}
+    tg = np.full((iy, jx), 290.0)
+    b0 = bats_init_state(ss_np, np.ones((iy, jx)), tg, iy, jx)
+    f2 = lambda v: jnp.full((iy, jx), float(v))
+    lnd = jnp.ones((iy, jx))
+    b = jnp.asarray(b0)
+    tgj = jnp.asarray(tg)
+    for _ in range(10):
+        out = vecbats(f2(288.0), f2(0.006), f2(4.0), f2(1.0),
+                      f2(45.0), f2(1.15), f2(101325.0), f2(0.0),
+                      f2(500.0), f2(80.0), f2(350.0), f2(0.7),
+                      tgj, b, ss, lnd, 600.0)
+        b, tgj = out.bats, out.tgrd
+    st = {k: np.asarray(b[i]) for i, k in enumerate(BATS_FIELDS)}
+    assert np.isfinite(np.asarray(b)).all()
+    # sunlit warm surface: upward sensible and latent heat
+    assert float(out.sent[2, 2]) > 0.0
+    assert float(out.evpr[2, 2]) > 0.0
+    # vegetated point evaporates more than desert (soil + canopy)
+    assert float(out.evpr[2, 2]) > float(out.evpr[0, 2])
+    # ground warmed under 500 W/m2 absorbed
+    assert float(tgj[2, 2]) > 290.0
+    # upper soil water drawn down from slmo initial
+    assert st["ssw"][2, 2] < 0.5 * float(ss_np["gwmx0"][2, 2])
+    # leaf temperature tracks a sunlit canopy (warmer than air)
+    assert st["tlef"][2, 2] > 288.0
+
+    # snow accumulation for a cold precipitating point
+    tg_c = jnp.full((iy, jx), 255.0)
+    b_c = jnp.asarray(bats_init_state(ss_np, np.ones((iy, jx)),
+                                      np.full((iy, jx), 255.0), iy, jx))
+    out_c = vecbats(f2(256.0), f2(0.002), f2(4.0), f2(1.0), f2(45.0),
+                    f2(1.3), f2(101325.0), f2(1e-4), f2(50.0),
+                    f2(60.0), f2(30.0), f2(0.2), tg_c, b_c, ss, lnd,
+                    600.0)
+    sncv_new = np.asarray(out_c.bats[4])
+    assert sncv_new[2, 2] > np.asarray(b_c[4])[2, 2]  # snow grows
+    # snow raises the albedo strongly vs the warm bare case
+    alb_w = bats_albedo(f2(0.6), b[0], b[6], b[4], b[5], ss, lnd)
+    alb_c = bats_albedo(f2(0.6), out_c.bats[0], out_c.bats[6],
+                        out_c.bats[4], out_c.bats[5], ss, lnd)
+    assert float(alb_c[0][2, 2]) > float(alb_w[0][2, 2]) + 0.2
+
+
+def test_nogtom_microphysics():
+    """Nogherotto-Tompkins (mod_micro_nogtom.F90): saturated cloudy
+    columns condense and precipitate; dry columns inert; water mass
+    closes between column change and surface flux."""
+    from regcm_tpu.physics.micro.nogtom import nogtom
+    kz, iy, jx = 18, 3, 3
+    sig = (np.arange(kz) + 0.5) / kz
+    p0 = 101325.0
+    ones = np.ones((kz, iy, jx))
+    phs = (sig[:, None, None] * (p0 - 5000) + 5000) * ones
+    sigf = np.arange(kz + 1) / kz
+    pfs = (sigf[:, None, None] * (p0 - 5000) + 5000) \
+        * np.ones((kz + 1, iy, jx))
+    t = np.maximum(288.0 * (phs / p0) ** 0.19, 210.0)
+    rho = phs / (287.0 * t)
+    qs = np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(phs)))
+    qv = 0.97 * qs
+    qv[:, 0, :] = 0.2 * qs[:, 0, :]           # dry row
+    qc = np.zeros_like(t)
+    qc[10:14, 1:, :] = 5e-4                   # cloud in moist rows
+    qx = np.stack([qv, qc] + [np.zeros_like(t)] * 3)
+    fcc = np.where(qc > 0, 0.9, 0.0)
+    out = nogtom(*[jnp.asarray(a) for a in
+                   (t, qx, phs, pfs, rho, fcc, np.zeros_like(t),
+                    np.zeros_like(t), np.full_like(t, -0.3),
+                    np.ones((iy, jx)))], dt=300.0)
+    assert all(np.isfinite(np.asarray(v)).all() for v in out)
+    # cloudy column rains at the surface
+    assert float(out.rainnc[1, 1] + out.snownc[1, 1]) > 0.0
+    # dry row produces nothing
+    assert float(out.rainnc[0, 1] + out.snownc[0, 1]) < 1e-12
+    # column water budget: d(water)/dt + precip_out = 0
+    dp = (pfs[1:] - pfs[:-1]) / 9.80665
+    colchg = (np.asarray(out.qxten).sum(axis=0) * dp).sum(axis=0)
+    sfcflux = np.asarray(out.rainnc + out.snownc)
+    np.testing.assert_allclose(colchg, -sfcflux, rtol=1e-6,
+                               atol=1e-12)
+
+
+def test_nogtom_in_model():
+    """ipptls=2 runs through the Model (5-species advected state)."""
+    from regcm_tpu.config.params import RegCMConfig
+    from regcm_tpu.driver import Model
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_001.in")
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 16, 14
+    cfg.geo.ds = 60.0
+    cfg.time.dt = 150.0
+    cfg.physics.ipptls = 2
+    m = Model(cfg, dtype=jnp.float64)
+    assert m.core.nqx == 5
+    for _ in range(3):
+        m.step()
+    assert m.check_finite()

@@ -121,3 +121,155 @@ def test_sigma2z(cfg, tmp_path):
     # temperature decreases with height across the stack
     i10k = list(d["zlev"]).index(10000.0)
     assert d["ta"][0, i10k].mean() < d["ta"][0, i2k].mean()
+
+
+def _write_era5_fixture(root, year=1990, month=6):
+    """Synthetic ERA5-layout monthly archive (standard atmosphere +
+    zonal jet) for the reader test."""
+    from regcm_tpu.io.ncio import NCWriter
+    from regcm_tpu.utils import constants as c
+    d = os.path.join(root, "ERA5", f"{year:04d}")
+    os.makedirs(d, exist_ok=True)
+    lats = np.arange(70.0, 9.9, -1.5)        # decreasing like ERA5
+    lons = np.arange(-20.0, 60.1, 1.5)
+    lev = np.array([100., 200., 300., 400., 500., 600., 700., 775.,
+                    850., 925., 1000.])      # hPa
+    nt = 9                                    # 6-hourly records
+    ref1900 = Date(1900, 1, 1)
+    t0 = (Date(year, month, 1) - ref1900) / 3600.0
+    times = t0 + 6.0 * np.arange(nt)
+    p3 = lev[:, None, None] * 100.0
+    tfld = np.maximum(288.0 * (p3 / 101325.0) ** 0.19, 210.0) \
+        * np.ones((len(lev), len(lats), len(lons)))
+    zfld = (c.rgas * 255.0 / c.egrav
+            * np.log(101325.0 / p3)) * np.ones_like(tfld) * c.egrav
+    qfld = np.minimum(0.6 * 0.622 * 610.0
+                      * np.exp(17.67 * (tfld - 273.15)
+                               / (tfld - 29.65)) / p3, 0.02)
+    ufld = 15.0 * np.exp(-((lats[None, :, None] - 40.0) / 10.0) ** 2) \
+        * (1.0 - lev[:, None, None] / 1100.0) * np.ones_like(tfld)
+    vfld = np.zeros_like(tfld)
+    for var, fld in (("geop", zfld), ("t", tfld), ("q", qfld),
+                     ("u", ufld), ("v", vfld)):
+        w = NCWriter(os.path.join(d, f"{var}_{year}_{month:02d}.nc"),
+                     dims={"level": len(lev), "latitude": len(lats),
+                           "longitude": len(lons)})
+        w.def_static("latitude", ("latitude",), lats)
+        w.def_static("longitude", ("longitude",), lons)
+        w.def_static("level", ("level",), lev)
+        key = {"geop": "z"}.get(var, var)
+        w.def_time_var(key, ("level", "latitude", "longitude"))
+        for n in range(nt):
+            w.write_record(times[n] , {key: fld})
+        w.close()
+
+
+def test_era5_icbc_pipeline(cfg, tmp_path):
+    """ERA5 archive → icbc → ICBC-driven model run (mod_era5.F90
+    equivalent on a synthetic fixture in the exact ERA5 file layout)."""
+    import copy
+    import jax.numpy as jnp
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+    from regcm_tpu.preproc.era5 import (ERA5Source, era5_fields,
+                                        generate_era5_icbc)
+    from regcm_tpu.preproc.terrain import synthetic_topo
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 18, 14
+    cfg.geo.ds = 60.0
+    cfg.geo.clat, cfg.geo.clon = 40.0, 15.0
+    cfg.time.dt = 150.0
+    cfg.restart.mdate0 = cfg.restart.mdate1 = 1990060100
+    cfg.globdat.gdate1, cfg.globdat.gdate2 = 1990060100, 1990060200
+    _write_era5_fixture(str(tmp_path))
+    grid = build_grid(cfg)
+    src = ERA5Source(str(tmp_path))
+    topo, _, _ = synthetic_topo(cfg)
+    topo_gp = np.pad(topo, ((0, 1), (0, 1)), mode="edge") * 9.80665
+    f = era5_fields(cfg, grid, topo_gp, src, Date(1990, 6, 1))
+    assert np.isfinite(f["t"]).all() and np.isfinite(f["ps"]).all()
+    assert 200.0 < f["t"].min() and f["t"].max() < 320.0
+    assert 60000.0 < f["ps"].min() and f["ps"].max() < 106000.0
+    assert f["u"].max() > 5.0          # the jet survived interpolation
+    # full pipeline: write ICBC and run the model on it
+    path = str(tmp_path / "era5_icbc.nc")
+    generate_era5_icbc(cfg, grid, topo_gp, str(tmp_path), path)
+    from regcm_tpu.preproc.icbc import ICBCReader
+    m = Model(cfg, grid=grid, dtype=jnp.float64, physics=False)
+    m.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
+    m.run_icbc(3)
+    assert m.check_finite()
+
+
+def test_sst_program(cfg, tmp_path):
+    """sst program (PreProc/ICBC/sst.F90): global dataset → model-grid
+    SST series; analytic fallback; bilinear ocean interpolation."""
+    import copy
+    from regcm_tpu.preproc.sst import (generate_sst, read_sst,
+                                       SSTSource, bilinear_global)
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx = 12, 14
+    cfg.globdat.gdate1, cfg.globdat.gdate2 = 1990060100, 1990060200
+    # global OISST-style source file
+    from regcm_tpu.io.ncio import NCWriter
+    lats = np.arange(-88.0, 88.1, 2.0)
+    lons = np.arange(0.0, 359.9, 2.0)
+    sst = 300.0 - 25.0 * np.sin(np.deg2rad(np.abs(lats)))[:, None] ** 2 \
+        * np.ones((len(lats), len(lons)))
+    gpath = str(tmp_path / "oisst.nc")
+    w = NCWriter(gpath, dims={"lat": len(lats), "lon": len(lons)})
+    w.def_static("lat", ("lat",), lats)
+    w.def_static("lon", ("lon",), lons)
+    w.def_time_var("sst", ("lat", "lon"), "K")
+    w.write_record(((Date(1990, 6, 1) - Date(1949, 12, 1)) / 3600.0),
+                   {"sst": sst})
+    w.close()
+    out = str(tmp_path / "dom_SST.nc")
+    generate_sst(cfg, out, SSTSource(gpath))
+    s = read_sst(out, Date(1990, 6, 1, 12))
+    assert s.shape == (cfg.dim.iy, cfg.dim.jx)
+    assert np.isfinite(s).all()
+    assert 270.0 < s.mean() < 305.0
+    # bilinear sanity: recover a linear field exactly (interior)
+    f = lats[:, None] * 0.5 + np.zeros((len(lats), len(lons)))
+    got = bilinear_global(f, lats, lons,
+                          np.array([[10.0, 33.0]]),
+                          np.array([[40.0, 100.0]]))
+    np.testing.assert_allclose(got, [[5.0, 16.5]], atol=1e-6)
+
+
+def test_terrain_tile_reader(tmp_path):
+    """Windowed tile reader + interpolators (Share/mod_rdldtr.F90,
+    mod_intldtr.F90): mosaic assembly, bilinear recovery of a smooth
+    field, bin-majority landuse, isolated-lake filter."""
+    from regcm_tpu.preproc.rdldtr import (
+        read_tiled_window, interp_bilinear, interp_majority,
+        filter1plakes, write_tile_fixture)
+    d = str(tmp_path / "tiles")
+    fn = lambda la, lo: 100.0 + 10.0 * la + 2.0 * lo
+    write_tile_fixture(d, "z", fn, lat0=30.0, lon0=0.0, ntile=2,
+                       tilesize=10.0, res=0.25)
+    gf = read_tiled_window(d, "z", 33.0, 46.0, 3.0, 16.0)
+    # window excludes non-overlapping parts but covers the request
+    assert gf.lats()[0] <= 33.0 + 0.5
+    assert gf.lats()[-1] >= 45.9
+    xlat = np.array([[35.3, 41.7], [38.1, 44.2]])
+    xlon = np.array([[5.2, 12.9], [7.7, 15.1]])
+    z = interp_bilinear(gf, xlat, xlon)
+    np.testing.assert_allclose(z, fn(xlat, xlon), rtol=1e-6)
+    # categorical majority
+    lu = lambda la, lo: np.where(lo < 10.0, 2.0, 15.0) \
+        * np.ones(np.broadcast_shapes(la.shape, lo.shape))
+    write_tile_fixture(str(tmp_path / "lu"), "landuse", lu, lat0=30.0,
+                       lon0=0.0, ntile=2, tilesize=10.0, res=0.25)
+    gl = read_tiled_window(str(tmp_path / "lu"), "landuse",
+                           33.0, 46.0, 3.0, 16.0)
+    cats = interp_majority(gl, xlat, xlon, ncat=22)
+    assert cats[0, 0] == 2 and cats[0, 1] == 15
+    # isolated lake removal
+    lnd = np.full((8, 8), 2)
+    lnd[4, 4] = 14                       # lone lake point
+    lnd[0:3, 0:3] = 14                   # real lake
+    out = filter1plakes(lnd)
+    assert out[4, 4] == 2
+    assert (out[0:3, 0:3] == 14).all()
