@@ -90,6 +90,9 @@ class HydroState(NamedTuple):
     # BATS1e land state, packed (NBATS=10, iy, jx): tgbrd, tlef, taf,
     # ldew, sncv, snag, ssw, rsw, tsw, gwet (physics/surface/bats.py)
     bats: jax.Array
+    # sea-ice state, packed (4, iy, jx): sfice, sncv, snag, tgrd_ice
+    # (physics/surface/seaice.py)
+    seaice: jax.Array
 
 
 class BdyState(NamedTuple):
@@ -132,7 +135,8 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         tlak=jnp.zeros((nlak, iy, jx), dtype),
         lakhi=jnp.full((iy, jx), 0.01, dtype),
         lakice=z2, laksnow=z2, laksnag=z2,
-        bats=jnp.zeros((10, iy, jx), dtype))
+        bats=jnp.zeros((10, iy, jx), dtype),
+        seaice=jnp.zeros((4, iy, jx), dtype))
 
 
 def bdy_from_state(s: HydroState) -> BdyState:

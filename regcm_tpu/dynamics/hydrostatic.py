@@ -175,6 +175,11 @@ class HydroCore:
         self.ibltyp = cfg.physics.ibltyp
         self.nuk = float(cfg.physics.extras.get("nuk", 5.0))
         self.tkemin = 1.0e-3         # uwtkemin (mod_pbl_uwtcm.F90:86)
+        # semi-Lagrangian tracer advection (isladvec=1,
+        # Main/mod_sladvection.F90; replaces the flux-form horizontal
+        # advection of qv and the hydrometeors)
+        self.isladvec = int(cfg.physics.isladvec)
+        self.iqmsl = int(cfg.physics.iqmsl)
         self.iboudy = cfg.physics.iboudy
         if self.iboudy == 4:      # sponge weights (mod_bdycod.F90:237)
             self.spwc = f(g.extras["sponge_wc"])
@@ -490,7 +495,18 @@ class HydroCore:
         # (icup=1) the dycore defers qv vadv to cupara
         # (mod_tendency.F90:1371-1373): active columns get the Kuo
         # tendencies instead, others the vadv term (mod_cu_kuo.F90:270+)
-        qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
+        if self.isladvec == 1:
+            # semi-Lagrangian horizontal advection of moisture
+            # (trajcalc_x + slhadv_x on the coupled b-level fields,
+            # mod_tendency.F90:1283,1361-1380); vertical advection
+            # stays in flux form
+            from .sladvection import sl_weights, slhadv
+            slw = sl_weights(ud, vd, self.msfx, self.dx, dt, iy, jx)
+            qvhadv = slhadv(s.qx_b[IQV], slw, dt,
+                            qmsl=(self.iqmsl == 1)) * self.m_ci
+        else:
+            qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1,
+                                       vavg2)
         qva = s.qx_a[IQV]
         ok = ((qva[1:] > c.minqq * psa[None])
               & (qva[:-1] > c.minqq * psa[None]))
@@ -503,7 +519,12 @@ class HydroCore:
         qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
         # hydrometeors (qc..qs): hadv + vadv4d ind=1 with the upstream
         # sign guard, batched over the species axis
-        qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1, vavg2)
+        if self.isladvec == 1:
+            qhten = slhadv(s.qx_b[1:], slw, dt,
+                           qmsl=(self.iqmsl == 1)) * self.m_ci
+        else:
+            qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1,
+                                      vavg2)
         qha = s.qx_a[1:]
         fi = (self.twt1[1:] * qha[:, 1:]
               + self.twt2[1:] * qha[:, :-1])

@@ -551,6 +551,23 @@ class PhysicsSuite:
                     do_restore_sst=sp.do_restore_sst,
                     sst_restore_timescale=sp.sst_restore_timescale)
                 tg = sst_new
+            if self.cfg.physics.iseaice == 1:
+                # frozen-ocean points override the open-water fluxes
+                # (seaice, mod_ocn_bats.F90:105; vecocn dispatch
+                # mod_ocn_common.F90:62)
+                from .surface.seaice import seaice as seaice_step
+                rhox2d_i = atms["ps2d"] / (c.rgas * tb3[kz - 1])
+                si = seaice_step(
+                    tb3[kz - 1], qvb3[kz - 1], atms["ubx3"][kz - 1],
+                    atms["vbx3"][kz - 1], za[kz - 1], rhox2d_i,
+                    atms["ps2d"], precip, swabs, -lwnet, sst,
+                    s.seaice, core.grid_lndocn, self.cfg.time.dtsrf)
+                im = si.icemask > 0.5
+                hfx = jnp.where(im, si.sent, hfx)
+                qfx = jnp.where(im, si.evpr, qfx)
+                uvdrag = jnp.where(im, si.drag, uvdrag)
+                tg = jnp.where(im, si.tg, tg)
+                sfupd["seaice"] = si.ice
             if self.lakemod == 1:
                 # lake points override the ocean fluxes (lakedrv,
                 # mod_ocn_lake.F90:203; llake dispatch

@@ -209,3 +209,44 @@ def test_inflow_outflow_boundary(cfg):
     assert float(np.abs(qc[:, 2:-2, 0]).max()) == 0.0
     # east edge is outflow → follows the interior (non-negative, finite)
     assert np.isfinite(qc[:, :, -2]).all()
+
+
+def test_semilagrangian_advection():
+    """isladvec=1 (mod_sladvection.F90): a qc blob advects downstream
+    under SL transport with the QMSL limiter — no new extrema — and
+    the model stays finite."""
+    import numpy as np
+    from regcm_tpu.config.params import RegCMConfig
+    from regcm_tpu.core.state import bdy_from_state
+    from regcm_tpu.driver import Model, standard_atmosphere_state
+    from regcm_tpu.dynamics.stencil import cross2dot
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_001.in")
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 16, 30, 14
+    cfg.geo.ds = 60.0
+    cfg.time.dt = 120.0
+    cfg.physics.isladvec = 1
+    cfg.physics.ipptls = 0
+    m = Model(cfg, dtype=jnp.float64, physics=False)
+    s = m.state
+    psd = cross2dot(s.ps_a)
+    u = 25.0 * psd[None] * jnp.ones_like(s.u_a)
+    qc = jnp.zeros_like(s.qx_a[1])
+    qc = qc.at[:, 5:11, 6:10].set(1.0e-4) * s.ps_a[None]
+    qx = s.qx_a.at[1].set(qc)
+    s = s._replace(u_a=u, u_b=u, qx_a=qx, qx_b=qx)
+    s = m.core.init_split_storage(s)
+    m.state = s
+    m.bdy = bdy_from_state(s)
+    for _ in range(10):
+        m.step()
+    q1 = np.asarray(m.state.qx_a[1] / m.state.ps_a[None])
+    assert np.isfinite(q1).all()
+    # QMSL keeps the field within the initial range (+ small filter slop)
+    assert q1.max() <= 1.05e-4
+    assert q1.min() >= -1e-12
+    # blob centroid moved east (downstream)
+    q0 = np.asarray(qc / s.ps_a[None])
+    x = np.arange(q1.shape[-1])
+    c0 = (q0.sum(axis=(0, 1)) * x).sum() / max(q0.sum(), 1e-30)
+    c1 = (q1.sum(axis=(0, 1)) * x).sum() / max(q1.sum(), 1e-30)
+    assert c1 > c0 + 0.3

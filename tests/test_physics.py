@@ -823,3 +823,37 @@ def test_nogtom_in_model():
     for _ in range(3):
         m.step()
     assert m.check_finite()
+
+
+def test_seaice():
+    """Sea-ice scheme (mod_ocn_bats.F90:105): cold ocean points grow
+    ice under conductive flux, warm SST points stay open water, fluxes
+    are strongly suppressed vs open water."""
+    from regcm_tpu.physics.surface.seaice import seaice, ICETRIGGERT
+    iy, jx = 4, 4
+    f2 = lambda v: jnp.full((iy, jx), float(v))
+    sst = np.full((iy, jx), 275.0)
+    sst[0:2, :] = 270.0                     # frozen rows
+    ice0 = jnp.zeros((4, iy, jx))
+    ocn = jnp.zeros((iy, jx))               # all ocean
+    out = seaice(f2(265.0), f2(0.0028), f2(5.0), f2(0.0), f2(40.0),
+                 f2(1.3), f2(101325.0), f2(1e-4), f2(50.0), f2(60.0),
+                 jnp.asarray(sst), ice0, ocn, 600.0)
+    assert np.isfinite(np.asarray(out.ice)).all()
+    icemask = np.asarray(out.icemask)
+    assert icemask[0, 0] == 1.0 and icemask[3, 3] == 0.0
+    # ice thickness grew from the conductive flux at the cold points
+    assert float(out.ice[0][0, 0]) > 0.01
+    # iced surface temperature at/below the freezing trigger
+    assert float(out.tg[0, 0]) <= ICETRIGGERT + 1e-6
+    # snow accumulated on the ice (cold air, precipitating)
+    assert float(out.ice[1][0, 0]) > 0.0
+    # repeated steps stay stable and keep growing ice in deep cold
+    ice = out.ice
+    for _ in range(5):
+        o = seaice(f2(260.0), f2(0.001), f2(5.0), f2(0.0), f2(40.0),
+                   f2(1.3), f2(101325.0), f2(0.0), f2(20.0), f2(70.0),
+                   jnp.asarray(sst), ice, ocn, 600.0)
+        ice = o.ice
+    assert np.isfinite(np.asarray(ice)).all()
+    assert float(ice[0][0, 0]) >= float(out.ice[0][0, 0])

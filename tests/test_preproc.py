@@ -273,3 +273,32 @@ def test_terrain_tile_reader(tmp_path):
     out = filter1plakes(lnd)
     assert out[4, 4] == 2
     assert (out[0:3, 0:3] == 14).all()
+
+
+def test_crm_idealized_icbc(cfg, tmp_path):
+    """CRM generators (PreProc/CRM): TOGA-like uniform sounding +
+    BL perturbations drive a doubly-periodic run."""
+    import copy
+    import jax.numpy as jnp
+    from regcm_tpu.driver import Model
+    from regcm_tpu.preproc.crm import generate_crm_icbc, toga_sounding
+    from regcm_tpu.preproc.icbc import ICBCReader
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 16, 16, 14
+    # hydrostatic-core CRM test: keep dx in the hydrostatic validity
+    # range so the split-explicit gravity-wave substeps are stable
+    # (a 3-4 km CRM belongs to the MOLOCH core)
+    cfg.geo.ds = 25.0
+    cfg.geo.i_crm = 1
+    cfg.time.dt = 60.0
+    cfg.physics.ipptls = 0
+    p = np.linspace(10000.0, 101325.0, 30)
+    t, qv = toga_sounding(p)
+    assert t[-1] > 299.0 and t[0] < 210.0      # tropical + tropopause
+    assert 0.015 < qv[-1] < 0.023              # moist boundary layer
+    path = str(tmp_path / "crm_icbc.nc")
+    generate_crm_icbc(cfg, path)
+    m = Model(cfg, dtype=jnp.float64, physics=False)
+    m.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
+    m.run_icbc(4)
+    assert m.check_finite()
