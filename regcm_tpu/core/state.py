@@ -93,6 +93,9 @@ class HydroState(NamedTuple):
     # sea-ice state, packed (4, iy, jx): sfice, sncv, snag, tgrd_ice
     # (physics/surface/seaice.py)
     seaice: jax.Array
+    # diurnal-SST state (idcsst=1), packed (3, iy, jx): deltas,
+    # tdeltas, tskin (physics/surface/dcsst.py)
+    dcsst: jax.Array
 
 
 class BdyState(NamedTuple):
@@ -136,7 +139,8 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         lakhi=jnp.full((iy, jx), 0.01, dtype),
         lakice=z2, laksnow=z2, laksnag=z2,
         bats=jnp.zeros((10, iy, jx), dtype),
-        seaice=jnp.zeros((4, iy, jx), dtype))
+        seaice=jnp.zeros((4, iy, jx), dtype),
+        dcsst=jnp.zeros((3, iy, jx), dtype))
 
 
 def bdy_from_state(s: HydroState) -> BdyState:

@@ -510,6 +510,10 @@ class PhysicsSuite:
             # with the slab ocean the prognostic SST lives in tg over
             # ocean points (sfs%tg2 aliasing, mod_slabocean.F90:79)
             sst = s.tg if slab else core.sst
+            if self.cfg.physics.idcsst == 1 and not slab:
+                # ocean fluxes see the prognostic skin temperature
+                # once it is spun up (dcsst, mod_ocn_zeng.F90:101-105)
+                sst = jnp.where(s.dcsst[2] > 100.0, s.dcsst[2], sst)
             sf = surface_fluxes(
                 atms["ubx3"][kz - 1], atms["vbx3"][kz - 1],
                 tb3[kz - 1], qvb3[kz - 1], za[kz - 1],
@@ -551,6 +555,23 @@ class PhysicsSuite:
                     do_restore_sst=sp.do_restore_sst,
                     sst_restore_timescale=sp.sst_restore_timescale)
                 tg = sst_new
+            if self.cfg.physics.idcsst == 1 and not slab:
+                # Zeng-Beljaars diurnal warm layer + cool skin
+                # (mod_ocn_zeng.F90:293-377)
+                from .surface.dcsst import dcsst as dcsst_step
+                rhox2d_d = atms["ps2d"] / (c.rgas * tb3[kz - 1])
+                spd_d = jnp.sqrt(atms["ubx3"][kz - 1] ** 2
+                                 + atms["vbx3"][kz - 1] ** 2)
+                ustar_d = jnp.sqrt(
+                    jnp.maximum(uvdrag, 1e-6) * jnp.maximum(spd_d, 0.1)
+                    / rhox2d_d)
+                dco = dcsst_step(core.sst, swabs, -lwnet, hfx, qfx,
+                                 ustar_d, rhox2d_d, s.dcsst,
+                                 core.grid_lndocn,
+                                 self.cfg.time.dtsrf)
+                ocm_d = core.grid_lndocn < 0.5
+                tg = jnp.where(ocm_d, dco.tskin, tg)
+                sfupd["dcsst"] = dco.dcsst
             if self.cfg.physics.iseaice == 1:
                 # frozen-ocean points override the open-water fluxes
                 # (seaice, mod_ocn_bats.F90:105; vecocn dispatch

@@ -167,3 +167,35 @@ def test_constants_match_reference():
     assert c.cpd == pytest.approx(1004.6992368, abs=1e-3)
     assert c.rwat == pytest.approx(461.5233169, abs=1e-4)
     assert c.wlhv == 2.50080e6
+
+
+def test_testing_corpus_runability_matrix():
+    """Every reference Testing namelist either BUILDS a model with its
+    exact scheme set or REFUSES with a clear config-time error — never
+    a silent scheme substitution (VERDICT r1 item 6 done-criterion;
+    the reference cross-validates in mod_params and dies)."""
+    import glob
+    import jax.numpy as jnp
+    from regcm_tpu.config.params import RegCMConfig
+    from regcm_tpu.driver import Model
+    built, refused = [], []
+    for path in sorted(glob.glob("/root/reference/Testing/test_*.in")):
+        name = path.split("/")[-1]
+        cfg = RegCMConfig.from_file(path)
+        # shrink only the grid/timestep — never the physics selectors
+        cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 16, 14
+        cfg.geo.ds = max(cfg.geo.ds, 30.0)
+        try:
+            Model(cfg, dtype=jnp.float64)
+            built.append(name)
+        except ValueError as e:
+            refused.append((name, str(e)))
+    # chemistry cases must refuse loudly (ichem=1 not implemented)
+    refused_names = {n for n, _ in refused}
+    for chem in ("test_008.in", "test_011.in", "test_013.in"):
+        assert chem in refused_names, f"{chem} should refuse (ichem=1)"
+    for n, msg in refused:
+        assert "not" in msg and len(msg) > 20, \
+            f"{n} refused without a clear message: {msg}"
+    # every non-chemistry case builds with its exact scheme set
+    assert len(built) == 13, (built, refused)

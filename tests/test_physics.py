@@ -857,3 +857,32 @@ def test_seaice():
         ice = o.ice
     assert np.isfinite(np.asarray(ice)).all()
     assert float(ice[0][0, 0]) >= float(out.ice[0][0, 0])
+
+
+def test_dcsst_diurnal_skin():
+    """Zeng-Beljaars dcsst (mod_ocn_zeng.F90:293): strong daytime solar
+    warms the skin above the bulk SST; nighttime cooling drops it below
+    (cool-skin effect); state remains bounded."""
+    from regcm_tpu.physics.surface.dcsst import dcsst
+    iy, jx = 4, 4
+    f2 = lambda v: jnp.full((iy, jx), float(v))
+    sstb = f2(300.0)
+    ocn = jnp.zeros((iy, jx))
+    st = jnp.zeros((3, iy, jx))
+    # daytime: 900 W/m2 absorbed, weak wind → warm layer builds
+    for _ in range(12):
+        out = dcsst(sstb, f2(900.0), f2(60.0), f2(8.0), f2(3e-5),
+                    f2(0.08), f2(1.15), st, ocn, 600.0)
+        st = out.dcsst
+    assert np.isfinite(np.asarray(st)).all()
+    tskin_day = float(out.tskin[1, 1])
+    assert tskin_day > 300.05
+    assert tskin_day < 304.0                 # bounded warm layer
+    # night: no sun, strong cooling → skin below bulk
+    for _ in range(30):
+        out = dcsst(sstb, f2(0.0), f2(120.0), f2(30.0), f2(8e-5),
+                    f2(0.25), f2(1.15), st, ocn, 600.0)
+        st = out.dcsst
+    tskin_night = float(out.tskin[1, 1])
+    assert tskin_night < tskin_day
+    assert tskin_night < 300.05
