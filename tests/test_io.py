@@ -97,14 +97,16 @@ def test_output_restart_append(cfg, tmp_path):
     (tpr/prcv/uvdrag on SRF, wa on ATM) and the STS daily stream."""
     import copy
     cfg = copy.deepcopy(cfg)
-    cfg.time.dt = 900.0
-    cfg.out.atmfrq = 0.5       # record every 2 steps
-    cfg.out.srffrq = 0.5
-    cfg.out.radfrq = 0.5
+    # dt must respect the reference's stability guidance at 60 km
+    # (dt ≈ 3·dx[km] s); a record lands every 5 steps
+    cfg.time.dt = 180.0
+    cfg.out.atmfrq = 0.25
+    cfg.out.srffrq = 0.25
+    cfg.out.radfrq = 0.25
     outdir = str(tmp_path / "out")
     m = _model(cfg, tmp_path)
     m.open_output(outdir)
-    m.run_with_output(4)
+    m.run_with_output(6)
     m.streams.close()
     sav = str(tmp_path / "mid_SAV.nc")
     m.save_restart(sav)
@@ -115,7 +117,7 @@ def test_output_restart_append(cfg, tmp_path):
     m2.open_output(outdir, append=True)
     n0 = m2.streams.atm.nrec
     assert n0 >= 1
-    m2.run_with_output(4)
+    m2.run_with_output(6)
     m2.streams.close()
 
     files = sorted(os.listdir(outdir))
@@ -152,3 +154,34 @@ def test_sts_daily_statistics(cfg, tmp_path):
               "sund"):
         assert v in sts
     assert np.isfinite(sts["tgmax"]).all()
+
+
+def test_cordex_extraction_and_grads(cfg, tmp_path):
+    """Postprocessing tools: pycordexer-style CORDEX extraction and
+    GrADSNcPrepare-style ctl generation over real stream files."""
+    import copy
+    from regcm_tpu.postproc.cordexer import extract, CORDEX
+    from regcm_tpu.postproc.grads import write_ctl
+    cfg = copy.deepcopy(cfg)
+    cfg.time.dt = 180.0
+    cfg.out.atmfrq = cfg.out.srffrq = cfg.out.radfrq = 0.25
+    outdir = str(tmp_path / "out")
+    m = _model(cfg, tmp_path)
+    m.open_output(outdir)
+    m.run_with_output(6)
+    m.streams.close()
+    # CORDEX single-variable files
+    for v in ("pr", "tas", "ps", "ta"):
+        p = extract(outdir, v)
+        d = read_nc(p)
+        assert v in d and np.isfinite(d[v]).all()
+    ps = read_nc(extract(outdir, "ps"))["ps"]
+    assert 60000.0 < ps.mean() < 108000.0          # hPa→Pa conversion
+    with pytest.raises(ValueError):
+        extract(outdir, "nosuchvar")
+    # GrADS ctl for the SRF stream
+    srf = [f for f in os.listdir(outdir) if "_SRF." in f][0]
+    ctl = write_ctl(os.path.join(outdir, srf))
+    txt = open(ctl).read()
+    assert "DTYPE netcdf" in txt and "ENDVARS" in txt
+    assert "tpr=>tpr" in txt
