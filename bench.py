@@ -57,6 +57,53 @@ def _time_fn(fn, arg, nrep, per_call_steps=1):
     return (time.time() - t0) / (nrep * per_call_steps)
 
 
+# per-chip peaks for the roofline line: (bf16 TFLOP/s, HBM GB/s).
+# Sources: published TPU specs (v4 275/1228, v5e 197/819,
+# v5p 459/2765, v6e 918/1640). f32 MXU rate is ~half bf16.
+_CHIP_PEAKS = {
+    "TPU v4": (275.0, 1228.0),
+    "TPU v5 lite": (197.0, 819.0),
+    "TPU v5e": (197.0, 819.0),
+    "TPU v5p": (459.0, 2765.0),
+    "TPU v5": (459.0, 2765.0),
+    "TPU v6e": (918.0, 1640.0),
+    "TPU v6 lite": (918.0, 1640.0),
+}
+
+
+def _roofline(metric, compiled, per_step, steps_per_call):
+    """Achieved FLOP/s + HBM bytes/s from the compiled step's XLA cost
+    analysis vs chip peak — the MFU/roofline record (one JSON line)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) / steps_per_call
+        byts = float(ca.get("bytes accessed", 0.0)) / steps_per_call
+    except Exception as e:            # cost analysis unsupported
+        print(json.dumps({"metric": metric, "error": str(e)}),
+              flush=True)
+        return
+    kind = jax.devices()[0].device_kind
+    peak = None
+    for k, v in _CHIP_PEAKS.items():
+        if kind.lower().startswith(k.lower()):
+            peak = v
+            break
+    tf = flops / per_step / 1e12
+    gbs = byts / per_step / 1e9
+    rec = {"metric": metric, "value": round(gbs, 1), "unit": "GB/s",
+           "vs_baseline": 0.0,
+           "device_kind": kind,
+           "tflops_per_s": round(tf, 3),
+           "flops_per_step": flops, "bytes_per_step": byts,
+           "arith_intensity": round(flops / max(byts, 1.0), 3)}
+    if peak:
+        rec["mfu_bf16_peak"] = round(tf / peak[0], 4)
+        rec["hbm_bw_frac"] = round(gbs / peak[1], 4)
+    print(json.dumps(rec), flush=True)
+
+
 def bench_hydro(physics, label):
     import numpy as np
     from regcm_tpu.config.params import RegCMConfig
@@ -83,7 +130,10 @@ def bench_hydro(physics, label):
     dt = jnp.asarray(dtsec, dtype)
     mu = jnp.full((grid.iy, grid.jx), 0.5, dtype)
     plain = StepFlags(do_rad=False, do_srf=physics, do_cum=physics)
-    radf = StepFlags(do_rad=True, do_srf=physics, do_cum=physics)
+    radf = StepFlags(do_rad=True, do_srf=physics, do_cum=physics,
+                     do_abem=False)
+    abemf = StepFlags(do_rad=True, do_srf=physics, do_cum=physics,
+                      do_abem=True)
     step = jax.jit(core.step, static_argnames=("flags",))
     chunk = int(os.environ.get("BENCH_CHUNK", "20"))
 
@@ -100,14 +150,27 @@ def bench_hydro(physics, label):
     per_step = t_plain
     extra = {}
     if physics:
+        # warm the absorptivity cache, then charge the dtrad-cadence
+        # cached radiation and the rare dtabem full refresh separately
+        # (getabetot amortization, Main/mod_rad_interface.F90:62-65)
+        abemstep = jax.jit(
+            lambda sc: step(sc, bdy, xt, dt, abemf, mu)[0])
+        s = abemstep(s)
         radstep = jax.jit(
             lambda sc: step(sc, bdy, xt, dt, radf, mu)[0])
         t_rad = _time_fn(radstep, s, 5)
+        t_abem = _time_fn(abemstep, s, 3)
         nrad = max(int(round(cfg.time.dtrad_sec / dtsec)), 1)
-        per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad
-        extra = {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad}
+        nabem = max(int(round(cfg.time.dtabem_sec / dtsec)), nrad)
+        per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad \
+            + max(t_abem - t_rad, 0.0) / nabem
+        extra = {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad,
+                 "abem_ms": round(t_abem * 1e3, 3), "nabem": nabem}
     gp = grid.iy * grid.jx * grid.kz
     _emit(label, gp / per_step, dtsec, per_step, extra)
+    if physics and os.environ.get("BENCH_ROOFLINE", "1") != "0":
+        _roofline("test_001 roofline (physics-on step, no rad)",
+                  multi.lower(s).compile(), t_plain, chunk)
 
 
 def bench_moloch():
@@ -138,7 +201,10 @@ def bench_moloch():
     dt = jnp.asarray(cfg.time.dt, dtype)
     mu = jnp.full((grid.iy, grid.jx), 0.5, dtype)
     plain = StepFlags(do_rad=False, do_srf=True, do_cum=True)
-    radf = StepFlags(do_rad=True, do_srf=True, do_cum=True)
+    radf = StepFlags(do_rad=True, do_srf=True, do_cum=True,
+                     do_abem=False)
+    abemf = StepFlags(do_rad=True, do_srf=True, do_cum=True,
+                      do_abem=True)
     step = jax.jit(core.step, static_argnames=("flags",))
     chunk = int(os.environ.get("BENCH_MOLOCH_CHUNK", "5"))
 
@@ -152,14 +218,23 @@ def bench_moloch():
 
     nsteps = int(os.environ.get("BENCH_MOLOCH_STEPS", "20"))
     t_plain = _time_fn(multi, s, max(nsteps // chunk, 1), chunk)
+    abemstep = jax.jit(lambda sc: step(sc, bdy, xt, dt, abemf, mu)[0])
+    s = abemstep(s)                     # warm the absorptivity cache
     radstep = jax.jit(lambda sc: step(sc, bdy, xt, dt, radf, mu)[0])
     t_rad = _time_fn(radstep, s, 2)
+    t_abem = _time_fn(abemstep, s, 2)
     nrad = max(int(round(cfg.time.dtrad_sec / cfg.time.dt)), 1)
-    per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad
+    nabem = max(int(round(cfg.time.dtabem_sec / cfg.time.dt)), nrad)
+    per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad \
+        + max(t_abem - t_rad, 0.0) / nabem
     gp = cfg.dim.iy * cfg.dim.jx * cfg.dim.kz
     _emit(f"MOLOCH 3km {n}x{n}x{cfg.dim.kz} full physics",
           gp / per_step, cfg.time.dt, per_step,
-          {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad})
+          {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad,
+           "abem_ms": round(t_abem * 1e3, 3), "nabem": nabem})
+    if os.environ.get("BENCH_ROOFLINE", "1") != "0":
+        _roofline(f"MOLOCH 3km roofline (physics-on step, no rad)",
+                  multi.lower(s).compile(), t_plain, chunk)
 
 
 def main():

@@ -34,6 +34,12 @@ class StepFlags(NamedTuple):
     do_srf: bool = False
     do_cum: bool = True
     first: bool = False
+    # absorptivity/emissivity refresh (getabetot on the dtabem alarm,
+    # Main/mod_rad_interface.F90:62-65): True recomputes the LW
+    # abstot/absnxt/emstot tensors from scratch; False reuses the
+    # cached state copy (radclw consumes the cache either way).
+    # Defaults True so a bare do_rad step is self-contained.
+    do_abem: bool = True
 
 
 class HydroState(NamedTuple):
@@ -96,6 +102,15 @@ class HydroState(NamedTuple):
     # diurnal-SST state (idcsst=1), packed (3, iy, jx): deltas,
     # tdeltas, tskin (physics/surface/dcsst.py)
     dcsst: jax.Array
+    # CCM3 LW absorptivity/emissivity cache, refreshed on the dtabem
+    # alarm (gasabstot/gasemstot/gasabsnxt of
+    # Main/mod_rad_interface.F90:62-65). Stored flat on the leading
+    # axis so every state leaf stays 3-D (sharding on iy/jx):
+    # abstot ((kz+1)², iy, jx), absnxt (4·kz, iy, jx),
+    # emstot (kz+1, iy, jx).
+    abstot: jax.Array
+    absnxt: jax.Array
+    emstot: jax.Array
 
 
 class BdyState(NamedTuple):
@@ -140,7 +155,10 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         lakice=z2, laksnow=z2, laksnag=z2,
         bats=jnp.zeros((10, iy, jx), dtype),
         seaice=jnp.zeros((4, iy, jx), dtype),
-        dcsst=jnp.zeros((3, iy, jx), dtype))
+        dcsst=jnp.zeros((3, iy, jx), dtype),
+        abstot=jnp.zeros(((kz + 1) * (kz + 1), iy, jx), dtype),
+        absnxt=jnp.zeros((4 * kz, iy, jx), dtype),
+        emstot=jnp.zeros((kz + 1, iy, jx), dtype))
 
 
 def bdy_from_state(s: HydroState) -> BdyState:

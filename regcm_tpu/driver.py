@@ -163,8 +163,7 @@ class Model:
                 bdy = bdy_from_state(self.state)
             stepfn = self.core.step_nh if cfg.core.idynamic == 2 \
                 else self.core.step
-        if (self.idynamic != 3
-                and getattr(physics, "land_scheme", "") == "bats1e"):
+        if getattr(physics, "land_scheme", "") == "bats1e":
             # initbats cold start: slmo soil water, Tg-initialized
             # leaf/subsoil temperatures (mod_bats_common.F90)
             from .physics.surface.bats import bats_init_state
@@ -175,7 +174,7 @@ class Model:
                 self.grid.iy, self.grid.jx)
             self.state = self.state._replace(
                 bats=jnp.asarray(b0, dtype))
-        if cfg.physics.lakemod == 1 and self.idynamic != 3:
+        if cfg.physics.lakemod == 1:
             # initlake (mod_ocn_lake.F90:96): cold-start lake profile
             from .physics.surface.lake import init_lake
             dh = np.asarray(self.grid.extras.get(
@@ -223,11 +222,16 @@ class Model:
             if interval <= 0:
                 return False
             return self.nstep == 0 or (elapsed % interval) < self.dtsec
+        do_rad = hit(tp.dtrad_sec)
         return StepFlags(
-            do_rad=hit(tp.dtrad_sec),
+            do_rad=do_rad,
             do_srf=hit(tp.dtsrf),
             do_cum=True,
             first=(self.nstep == 0),
+            # getabetot cadence (dtabem alarm,
+            # Main/mod_rad_interface.F90:62-65): full LW absorptivity
+            # refresh; intermediate dtrad calls reuse the state cache
+            do_abem=do_rad and hit(tp.dtabem_sec),
         )
 
     def run(self, nsteps: int, log_every: int = 0):

@@ -92,6 +92,26 @@ class MolochState(NamedTuple):
     lwsfc: jax.Array     # net downward longwave at surface (W/m2)
     cbmf: jax.Array      # Emanuel cloud-base mass flux memory
     cldefi: jax.Array    # Betts-Miller cloud efficiency memory
+    # full surface/physics pack, same layouts as HydroState (MOLOCH
+    # surface parity: BATS1e/lake/ice run the same schemes here —
+    # mod_moloch.F90:1386 calls the identical surface_model stack)
+    bats: jax.Array      # (10, iy, jx) BATS1e land pack
+    seaice: jax.Array    # (4, iy, jx)
+    dcsst: jax.Array     # (3, iy, jx)
+    tlak: jax.Array      # (nlak, iy, jx) Hostetler profile
+    lakhi: jax.Array
+    lakice: jax.Array
+    laksnow: jax.Array
+    laksnag: jax.Array
+    # MYJ per-layer TKE (atms%tkepbl; not advected) + surface layer state
+    tke_a: jax.Array     # (kz+1, iy, jx)
+    pbl0: jax.Array      # (2, iy, jx)
+    # CCM3 LW absorptivity/emissivity cache (dtabem alarm; flat leading
+    # axis like HydroState): ((kz+1)², iy, jx), (4·kz, iy, jx),
+    # (kz+1, iy, jx)
+    abstot: jax.Array
+    absnxt: jax.Array
+    emstot: jax.Array
 
 
 class MolochBdy(NamedTuple):
@@ -109,13 +129,25 @@ class MolochBdy(NamedTuple):
     vt: jax.Array
 
 
-def zeros_moloch_phys(kz: int, iy: int, jx: int, dtype=jnp.float64):
+def zeros_moloch_phys(kz: int, iy: int, jx: int, dtype=jnp.float64,
+                      nlak: int = 1):
     """Zero-initialized physics/surface fields for MolochState."""
     z2 = jnp.zeros((iy, jx), dtype)
     z3 = jnp.zeros((kz, iy, jx), dtype)
     return dict(tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
                 uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
-                cldefi=jnp.full((iy, jx), 0.6, dtype))
+                cldefi=jnp.full((iy, jx), 0.6, dtype),
+                bats=jnp.zeros((10, iy, jx), dtype),
+                seaice=jnp.zeros((4, iy, jx), dtype),
+                dcsst=jnp.zeros((3, iy, jx), dtype),
+                tlak=jnp.zeros((nlak, iy, jx), dtype),
+                lakhi=jnp.full((iy, jx), 0.01, dtype),
+                lakice=z2, laksnow=z2, laksnag=z2,
+                tke_a=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
+                pbl0=jnp.zeros((2, iy, jx), dtype),
+                abstot=jnp.zeros(((kz + 1) * (kz + 1), iy, jx), dtype),
+                absnxt=jnp.zeros((4 * kz, iy, jx), dtype),
+                emstot=jnp.zeros((kz + 1, iy, jx), dtype))
 
 
 class MolochCore:
@@ -325,7 +357,9 @@ class MolochCore:
         qx = jnp.concatenate(
             [f(qv)[None], jnp.zeros((self.nqx - 1, kz, iy, jx),
                                     self.dtype)])
-        phys = zeros_moloch_phys(kz, iy, jx, self.dtype)
+        nlak = int(self.cfg.physics.extras.get("lake_ndpmax", 100)) \
+            if self.cfg.physics.lakemod == 1 else 1
+        phys = zeros_moloch_phys(kz, iy, jx, self.dtype, nlak=nlak)
         phys["tg"] = f(t[kz - 1])
         return MolochState(u=z3, v=z3,
                            w=jnp.zeros((kz + 1, iy, jx), self.dtype),

@@ -75,17 +75,27 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
                    cldfrc, cldlwc, coszrs, tg, lndocn, xlat,
                    aldirs, aldifs, aldirl, aldifl, albvs, albvl,
                    emiss, ghg, eccf=1.0, solcon=1367.0,
-                   five_species=False, col_chunk=16384):
+                   five_species=False, col_chunk=16384,
+                   cache=None, want_cache=False):
     """Full CCM3 column radiation on a (kz, iy, jx) grid slice.
 
     cldlwc in g/m³ (in-cloud), dzq layer thickness (m), pb3/pf3 Pa,
-    ghg: dict from tables.ghg_mmr. Returns RadResult in MKS with 3-D
-    fields shaped like the model grid.
+    ghg: dict from tables.ghg_mmr. Returns ``(RadResult, cache_out)``
+    in MKS with 3-D fields shaped like the model grid.
 
     col_chunk: when the grid has more columns than this, the batch is
     processed in lax.map chunks so the (ncol, kz+1, kz+1) absorptivity
     temporaries stay bounded in HBM (the reference bounds the same
     arrays by its per-rank patch size).
+
+    cache/want_cache implement the reference's ``getabetot`` dtabem
+    amortization (Main/mod_rad_interface.F90:62-65): when ``cache`` is
+    given (dict abstot ((kz+1)², iy, jx), absnxt (4·kz, iy, jx),
+    emstot (kz+1, iy, jx)) the expensive LW absorptivity/emissivity
+    build (radems/radabs and the trace-gas path work) is skipped and
+    the cached tensors feed radclw directly. ``want_cache=True``
+    returns the freshly built tensors in that grid layout as
+    ``cache_out`` (else None).
     """
     kz, iy, jx = tb3.shape
     ncol = iy * jx
@@ -104,18 +114,25 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
         args2 = [p2(a) for a in (coszrs, tg, lndocn, xlat, aldirs,
                                  aldifs, aldirl, aldifl, albvs, albvl,
                                  emiss)]
+        ckeys = ("abstot", "absnxt", "emstot")
+        argsc = tuple(p3(cache[k]) for k in ckeys) \
+            if cache is not None else ()
 
         def one(chunk_args):
-            a3, a2 = chunk_args
+            a3, a2, ac = chunk_args
             # chunk columns → a (kzdim, chunk, 1) grid slice
             g3 = [x.T[:, :, None] for x in a3]
             g2 = [x[:, None] for x in a2]
+            ch = dict(zip(ckeys, (x.T[:, :, None] for x in ac))) \
+                if cache is not None else None
             return ccm3_radiation(*g3, *g2, ghg, eccf=eccf,
                                   solcon=solcon,
                                   five_species=five_species,
-                                  col_chunk=0)
+                                  col_chunk=0, cache=ch,
+                                  want_cache=want_cache)
 
-        res = jax.lax.map(one, (tuple(args3), tuple(args2)))
+        res, cch = jax.lax.map(one, (tuple(args3), tuple(args2),
+                                     argsc))
         def un3(a):      # (nch, kzd, chunk, 1) → (kzd, iy, jx)
             kzd = a.shape[1]
             flat = jnp.moveaxis(a[..., 0], 1, 2).reshape(
@@ -123,8 +140,11 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
             return flat.T.reshape(kzd, iy, jx)
         un2 = lambda a: a.reshape(nch * col_chunk)[:ncol].reshape(
             iy, jx)
-        return RadResult(*(un3(f) if f.ndim == 4 else un2(f)
-                           for f in res))
+        out = RadResult(*(un3(f) if f.ndim == 4 else un2(f)
+                          for f in res))
+        cout = None if cch is None \
+            else {k: un3(v) for k, v in cch.items()}
+        return out, cout
     col = lambda a: a.reshape(kz, ncol).T          # (ncol, kz) top-down
     coli = lambda a: a.reshape(kz + 1, ncol).T
     c2 = lambda a: a.reshape(ncol)
@@ -197,26 +217,41 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
 
     # ---- longwave ------------------------------------------------------
     tp = lwmod.radtpl(c2(tg), t, pmln, q, piln, pint, plh2o)
-    plos, plol = lwmod.radoz2(o3vmr, pint)
-    xptrop = (25000.0 - 15000.0
-              * jnp.cos(c2(xlat) * np.pi / 180.0) ** 2) * 10.0  # cgs
-    n2o, ch4, cfc11, cfc12 = lwmod.trcmix(
-        c2(xlat), xptrop, pmid,
-        dict(ch40=ghg["ch40"], n2o0=ghg["n2o0"],
-             cfc110=ghg["cfc110"], cfc120=ghg["cfc120"]))
-    paths = lwmod.trcpth(t, pint, cfc11, cfc12, n2o, ch4, q,
-                         ghg["co2mmr"])
-    emplnk, abplnk1, abplnk2 = lwmod.trcplk(tp["tint"], tp["tlayr"],
-                                            tp["tplnke"])
-    em = lwmod.radems(pint, tp, plh2o, plco2, plos, plol, paths,
-                      emplnk, ghg["co2vmr"])
-    abstot, absnxt = lwmod.radabs(pint, pmid, piln, pmln, tp, em,
-                                  plh2o, plco2, plos, plol, paths,
-                                  abplnk1, abplnk2, ghg["co2vmr"])
+    if cache is None:
+        plos, plol = lwmod.radoz2(o3vmr, pint)
+        xptrop = (25000.0 - 15000.0
+                  * jnp.cos(c2(xlat) * np.pi / 180.0) ** 2) * 10.0  # cgs
+        n2o, ch4, cfc11, cfc12 = lwmod.trcmix(
+            c2(xlat), xptrop, pmid,
+            dict(ch40=ghg["ch40"], n2o0=ghg["n2o0"],
+                 cfc110=ghg["cfc110"], cfc120=ghg["cfc120"]))
+        paths = lwmod.trcpth(t, pint, cfc11, cfc12, n2o, ch4, q,
+                             ghg["co2mmr"])
+        emplnk, abplnk1, abplnk2 = lwmod.trcplk(tp["tint"], tp["tlayr"],
+                                                tp["tplnke"])
+        em = lwmod.radems(pint, tp, plh2o, plco2, plos, plol, paths,
+                          emplnk, ghg["co2vmr"])
+        abstot, absnxt = lwmod.radabs(pint, pmid, piln, pmln, tp, em,
+                                      plh2o, plco2, plos, plol, paths,
+                                      abplnk1, abplnk2, ghg["co2vmr"])
+        emsgastot = em["emsgastot"]
+    else:
+        # dtabem-cached tensors (grid layout → column layout)
+        abstot = cache["abstot"].reshape(
+            (kz + 1) * (kz + 1), ncol).T.reshape(ncol, kz + 1, kz + 1)
+        absnxt = cache["absnxt"].reshape(
+            kz * 4, ncol).T.reshape(ncol, kz, 4)
+        emsgastot = cache["emstot"].reshape(kz + 1, ncol).T
     effcldp = jnp.concatenate(
         [effcld_lay, jnp.zeros((ncol, 1), t.dtype)], axis=1)
     lwr = lwmod.radclw(c2(tg), c2(emiss), effcldp, tp,
-                       em["emsgastot"], abstot, absnxt, pint)
+                       emsgastot, abstot, absnxt, pint)
+    cache_out = None
+    if want_cache:
+        cache_out = dict(
+            abstot=abstot.reshape(ncol, -1).T.reshape(-1, iy, jx),
+            absnxt=absnxt.reshape(ncol, -1).T.reshape(-1, iy, jx),
+            emstot=emsgastot.T.reshape(kz + 1, iy, jx))
 
     # total cloud fraction (radctl :980-995, max-random overlap)
     pair_max = jnp.maximum(cldp[:, :-1], cldp[:, 1:])
@@ -227,7 +262,7 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
     heatrt = sw.qrs + lwr.qrl                      # already K/s
     un = lambda a: a.T.reshape(kz, iy, jx)
     u2 = lambda a: (a * 1.0e-3).reshape(iy, jx)    # cgs → W/m²
-    return RadResult(
+    res = RadResult(
         heatrt=un(heatrt),
         swabs_sfc=u2(sw.fsns),
         # net downward LW at the surface = down − up = −flns
@@ -239,3 +274,4 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
         solsd=sw.solsd.reshape(iy, jx),
         solld=sw.solld.reshape(iy, jx),
         totcf=totcf.reshape(iy, jx))
+    return res, cache_out

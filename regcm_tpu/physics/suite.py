@@ -145,10 +145,6 @@ class PhysicsSuite:
         # ocean class 15 over water, loam texture)
         self.land_scheme = str(cfg.physics.extras.get("land_scheme",
                                                       "bats1e"))
-        if cfg.core.idynamic == 3 and self.land_scheme == "bats1e":
-            # MOLOCH state carries no BATS pack yet — use the
-            # force-restore surrogate there this round
-            self.land_scheme = "lite"
         if self.land_scheme == "bats1e":
             import numpy as _np
             from .surface.bats import soil_static
@@ -164,9 +160,6 @@ class PhysicsSuite:
         # field (grid.extras["dhlake"], m)
         self.lakemod = cfg.physics.lakemod
         if self.lakemod == 1:
-            if cfg.core.idynamic == 3:
-                raise ValueError("lakemod=1 is not wired for the "
-                                 "MOLOCH core yet (idynamic=3)")
             import numpy as _np
             from .surface.lake import init_lake
             dh = _np.asarray(grid.extras.get(
@@ -477,17 +470,25 @@ class PhysicsSuite:
             if self.rad_scheme == "ccm3":
                 # CCM3 spectral radiation (colmod3/radctl) with the
                 # BATS per-band albedos; eccf=1 (±3.4% seasonal TSI
-                # cycle pending the orbital module).
+                # cycle pending the orbital module). LW absorptivity/
+                # emissivity follow the dtabem alarm (getabetot,
+                # Main/mod_rad_interface.F90:62-65): recomputed when
+                # flags.do_abem, else read from the state cache.
                 from .radiation.ccm3.driver import ccm3_radiation
                 qib3 = atms["qhb3"][2] if core.nqx == 5 \
                     else jnp.zeros_like(qcb3)
-                rad = ccm3_radiation(
+                abem_cache = None if flags.do_abem else dict(
+                    abstot=s.abstot, absnxt=s.absnxt, emstot=s.emstot)
+                rad, abem_out = ccm3_radiation(
                     tb3, qvb3, qcb3, qib3, pb3, pf3, rh, dzq,
                     cldfra, cldlwc, coszrs, s.tg, core.grid_lndocn,
                     self.xlat, aldirs, aldifs, aldirl, aldifl,
                     albvs, albvl, emis2d_b,
                     self.ghg_mmr, eccf=1.0, solcon=self.solcon,
-                    five_species=(core.nqx == 5))
+                    five_species=(core.nqx == 5),
+                    cache=abem_cache, want_cache=flags.do_abem)
+                if abem_out is not None:
+                    sfupd.update(abem_out)
                 heatrt = rad.heatrt * m_ci
                 swabs = rad.swabs_sfc
                 lwnet = rad.lwnet_sfc

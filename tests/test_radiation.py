@@ -16,7 +16,8 @@ from regcm_tpu.physics.radiation.ccm3.tables import ghg_mmr
 KZ, IY, JX = 18, 2, 2
 
 
-def _column(co2=355.0, cld=True, mu=0.5):
+def _column_raw(co2=355.0, cld=True, mu=0.5):
+    """Column inputs + ghg dict (shared by the plain and cached runs)."""
     sig = np.linspace(0.025, 0.9875, KZ)
     ps = 101325.0
     pb = sig * ps
@@ -44,7 +45,32 @@ def _column(co2=355.0, cld=True, mu=0.5):
             f3(cldf), f3(clw), f2(mu), f2(t[-1]), f2(1.0), f2(45.0),
             f2(0.1), f2(0.1), f2(0.1), f2(0.1), f2(0.1), f2(0.1),
             f2(0.985))
-    return jax.jit(lambda *a: ccm3_radiation(*a, ghg))(*args)
+    return args, ghg
+
+
+def _column(co2=355.0, cld=True, mu=0.5):
+    args, ghg = _column_raw(co2, cld, mu)
+    return jax.jit(lambda *a: ccm3_radiation(*a, ghg)[0])(*args)
+
+
+def test_abem_cache_equivalence():
+    """getabetot dtabem cache: radiation with the cache built from the
+    SAME column state must reproduce the full calculation to roundoff
+    (the caching must only change WHEN the tensors refresh, not what
+    radclw computes — Main/mod_rad_interface.F90:62-65). The two runs
+    are different XLA programs, so the bound is codegen-ULP (~1e-13
+    relative in f64), not bitwise."""
+    args, ghg = _column_raw()
+    full, cache = jax.jit(
+        lambda *a: ccm3_radiation(*a, ghg, want_cache=True))(*args)
+    assert cache is not None
+    assert float(jnp.abs(cache["abstot"]).max()) > 0.0
+    cached, none_out = jax.jit(
+        lambda c, *a: ccm3_radiation(*a, ghg, cache=c))(cache, *args)
+    assert none_out is None
+    for f, a, b in zip(full._fields, full, cached):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-15, err_msg=f)
 
 
 def test_flux_magnitudes():
