@@ -33,6 +33,9 @@ BASELINE_GPS = 1.9e5   # grid-point·steps/s (machine-wide, 8 ranks)
 
 
 def _emit(metric, gps, dt, per_step, extra=None):
+    if extra:
+        extra = {k: v for k, v in extra.items()
+                 if not k.startswith("_")}
     rec = {
         "metric": metric,
         "value": round(gps, 1),
@@ -104,6 +107,67 @@ def _roofline(metric, compiled, per_step, steps_per_call):
     print(json.dumps(rec), flush=True)
 
 
+def _alarmed_physics_timing(core, s, bdy, mu, cfg, dtsec, physics,
+                            chunk, nsteps):
+    """Time the base step + each alarmed physics class (cumulus on
+    dtcum, surface on dtsrf, cached radiation on dtrad, full
+    absorptivity refresh on dtabem) and amortize by their cadences —
+    the reference's syncro_* alarm structure
+    (Main/mpplib/mod_runparams.F90:51-75)."""
+    import jax
+    import jax.numpy as jnp
+    from regcm_tpu.core.state import StepFlags
+
+    xt = jnp.asarray(0.0, jnp.float32)
+    dt = jnp.asarray(dtsec, jnp.float32)
+    step = jax.jit(core.step, static_argnames=("flags",))
+    base = StepFlags(do_rad=False, do_srf=False, do_cum=False)
+
+    @jax.jit
+    def multi(sc):
+        def body(carry, _):
+            ns, _ = step(carry, bdy, xt, dt, base, mu)
+            return ns, ()
+        out, _ = jax.lax.scan(body, sc, None, length=chunk)
+        return out
+
+    if physics:
+        # warm the held-tendency + absorptivity caches
+        warm = StepFlags(do_rad=True, do_srf=True, do_cum=True,
+                         do_abem=True)
+        s = jax.jit(lambda sc: step(sc, bdy, xt, dt, warm, mu)[0])(s)
+    t_base = _time_fn(multi, s, max(nsteps // chunk, 1), chunk)
+    if not physics:
+        return t_base, {}, multi, s
+
+    def one(flags, nrep):
+        fn = jax.jit(lambda sc: step(sc, bdy, xt, dt, flags, mu)[0])
+        return _time_fn(fn, s, nrep)
+
+    t_cum = one(StepFlags(do_rad=False, do_srf=False, do_cum=True), 5)
+    t_srf = one(StepFlags(do_rad=False, do_srf=True, do_cum=False), 5)
+    t_rad = one(StepFlags(do_rad=True, do_srf=False, do_cum=False,
+                          do_abem=False), 5)
+    t_abem = one(StepFlags(do_rad=True, do_srf=False, do_cum=False,
+                           do_abem=True), 3)
+    ncum = max(int(round(max(cfg.time.dtcum, dtsec) / dtsec)), 1)
+    nsrf = max(int(round(cfg.time.dtsrf / dtsec)), 1)
+    nrad = max(int(round(cfg.time.dtrad_sec / dtsec)), 1)
+    nabem = max(int(round(cfg.time.dtabem_sec / dtsec)), nrad)
+    per_step = (t_base
+                + max(t_cum - t_base, 0.0) / ncum
+                + max(t_srf - t_base, 0.0) / nsrf
+                + max(t_rad - t_base, 0.0) / nrad
+                + max(t_abem - t_rad, 0.0) / nabem)
+    extra = {"base_ms": round(t_base * 1e3, 3),
+             "cum_ms": round(t_cum * 1e3, 3), "ncum": ncum,
+             "srf_ms": round(t_srf * 1e3, 3), "nsrf": nsrf,
+             "rad_ms": round(t_rad * 1e3, 3), "nrad": nrad,
+             "abem_ms": round(t_abem * 1e3, 3), "nabem": nabem,
+             "_chunk": chunk}
+    return per_step, extra, multi, s
+
+
 def bench_hydro(physics, label):
     import numpy as np
     from regcm_tpu.config.params import RegCMConfig
@@ -129,48 +193,16 @@ def bench_hydro(physics, label):
     xt = jnp.asarray(0.0, dtype)
     dt = jnp.asarray(dtsec, dtype)
     mu = jnp.full((grid.iy, grid.jx), 0.5, dtype)
-    plain = StepFlags(do_rad=False, do_srf=physics, do_cum=physics)
-    radf = StepFlags(do_rad=True, do_srf=physics, do_cum=physics,
-                     do_abem=False)
-    abemf = StepFlags(do_rad=True, do_srf=physics, do_cum=physics,
-                      do_abem=True)
-    step = jax.jit(core.step, static_argnames=("flags",))
-    chunk = int(os.environ.get("BENCH_CHUNK", "20"))
-
-    @jax.jit
-    def multi(sc):
-        def body(carry, _):
-            ns, _ = step(carry, bdy, xt, dt, plain, mu)
-            return ns, ()
-        out, _ = jax.lax.scan(body, sc, None, length=chunk)
-        return out
-
-    nsteps = int(os.environ.get("BENCH_STEPS", "200"))
-    t_plain = _time_fn(multi, s, max(nsteps // chunk, 1), chunk)
-    per_step = t_plain
-    extra = {}
-    if physics:
-        # warm the absorptivity cache, then charge the dtrad-cadence
-        # cached radiation and the rare dtabem full refresh separately
-        # (getabetot amortization, Main/mod_rad_interface.F90:62-65)
-        abemstep = jax.jit(
-            lambda sc: step(sc, bdy, xt, dt, abemf, mu)[0])
-        s = abemstep(s)
-        radstep = jax.jit(
-            lambda sc: step(sc, bdy, xt, dt, radf, mu)[0])
-        t_rad = _time_fn(radstep, s, 5)
-        t_abem = _time_fn(abemstep, s, 3)
-        nrad = max(int(round(cfg.time.dtrad_sec / dtsec)), 1)
-        nabem = max(int(round(cfg.time.dtabem_sec / dtsec)), nrad)
-        per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad \
-            + max(t_abem - t_rad, 0.0) / nabem
-        extra = {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad,
-                 "abem_ms": round(t_abem * 1e3, 3), "nabem": nabem}
+    per_step, extra, multi, s = _alarmed_physics_timing(
+        core, s, bdy, mu, cfg, dtsec, physics,
+        chunk=int(os.environ.get("BENCH_CHUNK", "20")),
+        nsteps=int(os.environ.get("BENCH_STEPS", "200")))
     gp = grid.iy * grid.jx * grid.kz
     _emit(label, gp / per_step, dtsec, per_step, extra)
     if physics and os.environ.get("BENCH_ROOFLINE", "1") != "0":
-        _roofline("test_001 roofline (physics-on step, no rad)",
-                  multi.lower(s).compile(), t_plain, chunk)
+        _roofline("test_001 roofline (physics-on step, no alarms)",
+                  multi.lower(s).compile(),
+                  extra["base_ms"] * 1e-3, extra["_chunk"])
 
 
 def bench_moloch():
@@ -200,41 +232,17 @@ def bench_moloch():
     xt = jnp.asarray(0.0, dtype)
     dt = jnp.asarray(cfg.time.dt, dtype)
     mu = jnp.full((grid.iy, grid.jx), 0.5, dtype)
-    plain = StepFlags(do_rad=False, do_srf=True, do_cum=True)
-    radf = StepFlags(do_rad=True, do_srf=True, do_cum=True,
-                     do_abem=False)
-    abemf = StepFlags(do_rad=True, do_srf=True, do_cum=True,
-                      do_abem=True)
-    step = jax.jit(core.step, static_argnames=("flags",))
-    chunk = int(os.environ.get("BENCH_MOLOCH_CHUNK", "5"))
-
-    @jax.jit
-    def multi(sc):
-        def body(carry, _):
-            ns, _ = step(carry, bdy, xt, dt, plain, mu)
-            return ns, ()
-        out, _ = jax.lax.scan(body, sc, None, length=chunk)
-        return out
-
-    nsteps = int(os.environ.get("BENCH_MOLOCH_STEPS", "20"))
-    t_plain = _time_fn(multi, s, max(nsteps // chunk, 1), chunk)
-    abemstep = jax.jit(lambda sc: step(sc, bdy, xt, dt, abemf, mu)[0])
-    s = abemstep(s)                     # warm the absorptivity cache
-    radstep = jax.jit(lambda sc: step(sc, bdy, xt, dt, radf, mu)[0])
-    t_rad = _time_fn(radstep, s, 2)
-    t_abem = _time_fn(abemstep, s, 2)
-    nrad = max(int(round(cfg.time.dtrad_sec / cfg.time.dt)), 1)
-    nabem = max(int(round(cfg.time.dtabem_sec / cfg.time.dt)), nrad)
-    per_step = t_plain + max(t_rad - t_plain, 0.0) / nrad \
-        + max(t_abem - t_rad, 0.0) / nabem
+    per_step, extra, multi, s = _alarmed_physics_timing(
+        core, s, bdy, mu, cfg, cfg.time.dt, True,
+        chunk=int(os.environ.get("BENCH_MOLOCH_CHUNK", "5")),
+        nsteps=int(os.environ.get("BENCH_MOLOCH_STEPS", "20")))
     gp = cfg.dim.iy * cfg.dim.jx * cfg.dim.kz
     _emit(f"MOLOCH 3km {n}x{n}x{cfg.dim.kz} full physics",
-          gp / per_step, cfg.time.dt, per_step,
-          {"rad_ms": round(t_rad * 1e3, 3), "nrad": nrad,
-           "abem_ms": round(t_abem * 1e3, 3), "nabem": nabem})
+          gp / per_step, cfg.time.dt, per_step, extra)
     if os.environ.get("BENCH_ROOFLINE", "1") != "0":
-        _roofline(f"MOLOCH 3km roofline (physics-on step, no rad)",
-                  multi.lower(s).compile(), t_plain, chunk)
+        _roofline("MOLOCH 3km roofline (physics-on step, no alarms)",
+                  multi.lower(s).compile(),
+                  extra["base_ms"] * 1e-3, extra["_chunk"])
 
 
 def main():

@@ -203,22 +203,27 @@ def settling_tend(chib, psb, pdepv, ddepv, dzq, rhob, twt1, twt2, dt):
     ntr, kz = chib.shape[0], chib.shape[1]
     rdt = 1.0 / dt
     mintr = 1.0e-30
-    # interface flux proxies wk at k=1..kz-1 interfaces (ref wk(:,2:kz))
-    wk = jnp.where(chib[:, :-1] > mintr * psb[None, None],
+    # interface settling-flux proxies: our wk[j] (j=0..kz-2) is the
+    # interface between layers j and j+1 (= reference wk(k) with
+    # 1-based k=j+2)
+    # twt1/twt2 arrive (kz, 1, 1) from the core
+    wk = jnp.where(chib[:, :-1] > mintr,
                    (twt1[None, 1:] * chib[:, 1:]
                     + twt2[None, 1:] * chib[:, :-1]) * rdt,
-                   0.0)                                    # (ntr,kz-1,...)
-    edec = 1.0 - jnp.exp(-pdepv / dzq[None] * dt)          # (ntr,kz,...)
-    # interior k=1..kz-2 (ref k=2..kz-1): wk[k+1]·E[k+1] − wk[k]·E[k]
-    st_int = (wk[:, 1:] * edec[:, 1:kz]
-              - wk[:, :-1] * edec[:, :kz - 1])             # at k=1..kz-1
+                   0.0)                                    # (ntr,kz-1,…)
+    expo = lambda v, dz: 1.0 - jnp.exp(-v / dz[None] * dt)
+    # interior layers kk=1..kz-2 (ref k=2..kz-1): both exponentials use
+    # the LAYER thickness dzq(kk); settling velocities at kk+1 / kk
+    st_int = (wk[:, 1:] * expo(pdepv[:, 2:kz], dzq[1:kz - 1])
+              - wk[:, :-1] * expo(pdepv[:, 1:kz - 1], dzq[1:kz - 1]))
     # surface layer kz-1: deposition with ddepv minus incoming settling
     edep = 1.0 - jnp.exp(-ddepv / dzq[kz - 1][None] * dt)
     st_sfc = (jnp.maximum(chib[:, kz - 1], 0.0) * rdt * edep
-              - wk[:, kz - 2] * edec[:, kz - 1])
+              - wk[:, kz - 2] * expo(pdepv[:, kz - 1:kz],
+                                     dzq[kz - 1:kz])[:, 0])
     chiten = jnp.concatenate(
         [jnp.zeros_like(chib[:, :1]),
-         -st_int[:, :kz - 2],
+         -st_int,
          -st_sfc[:, None]], axis=1)
     # dry-deposition mass flux diagnostic (kg/m²/s, decoupled)
     ddflx = (chib[:, kz - 1] - st_sfc * dt * 0.5) / psb[None] \

@@ -154,12 +154,13 @@ class DustEmission:
     """
 
     def __init__(self, bin_size, texfrac, emitmask, ichdustemd=1,
-                 rdstemfac=1.0, dtype=jnp.float32):
+                 rdstemfac=1.0, dtype=None):
         t = dust_tables(np.asarray(bin_size), ichdustemd)
         self.ichdustemd = int(ichdustemd)
         self.rdstemfac = float(rdstemfac)
         self.nbin = np.asarray(bin_size).shape[0]
-        f = lambda x: jnp.asarray(x, dtype)
+        f = (lambda x: jnp.asarray(x, dtype)) if dtype is not None \
+            else (lambda x: jnp.asarray(x))
         self.dp = f(t.dp_array)
         self.srel = f(t.srel)
         self.frac1, self.frac2, self.frac3 = (f(t.frac1), f(t.frac2),

@@ -34,18 +34,19 @@ ZSNO = 0.00040     # snow roughness zsno
 class ChemTend:
     """Dust-chemistry tendency operator bound to one grid/config."""
 
-    def __init__(self, cfg, grid, spec: ChemSpec, dtype=jnp.float32):
+    def __init__(self, cfg, grid, spec: ChemSpec, dtype=None):
         self.cfg = cfg
         self.spec = spec
         self.ntr = spec.ntr
-        ch = cfg.physics.extras
-        self.ichsursrc = int(ch.get("ichsursrc", 1))
-        self.ichdrdepo = int(ch.get("ichdrdepo", 1))
-        self.ichremlsc = int(ch.get("ichremlsc", 1))
-        self.ichremcvc = int(ch.get("ichremcvc", 1))
-        self.ichdustemd = int(ch.get("ichdustemd", 1))
-        self.rdstemfac = float(ch.get("rdstemfac", 1.0))
-        f = lambda x: jnp.asarray(x, dtype)
+        ch = cfg.chem
+        self.ichsursrc = int(ch.ichsursrc)
+        self.ichdrdepo = int(ch.ichdrdepo)
+        self.ichremlsc = int(ch.ichremlsc)
+        self.ichremcvc = int(ch.ichremcvc)
+        self.ichdustemd = int(ch.ichdustemd)
+        self.rdstemfac = float(ch.rdstemfac)
+        f = (lambda x: jnp.asarray(x, dtype)) if dtype is not None \
+            else (lambda x: jnp.asarray(x))
         # landuse class map (ivegcov: ocean/lake classes 14/15 → 0,
         # tractend2 :168-178)
         lveg = np.asarray(grid.extras.get(
@@ -177,13 +178,13 @@ class ChemTend:
         return chiten * core.m_ci[None, None], diag
 
 
-def build_chem(cfg, grid, dtype=jnp.float32):
+def build_chem(cfg, grid, dtype=None):
     """Config-time chemistry factory (mod_che_start start_chem
     equivalent): None when ichem=0, a ChemTend for supported
     chemsimtypes, ValueError otherwise."""
     if cfg.physics.ichem == 0:
         return None
-    spec = build_species(getattr(cfg.physics, "chemsimtype", ""))
+    spec = build_species(cfg.chem.chemsimtype)
     if spec is None:
         raise ValueError("ichem=1 requires chemparam chemsimtype")
     return ChemTend(cfg, grid, spec, dtype=dtype)

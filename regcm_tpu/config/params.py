@@ -283,6 +283,27 @@ class GlobdatParam:
 
 
 @dataclass
+class ChemParam:
+    """&chemparam (Main/mod_params.F90:155-157; defaults :515-533)."""
+    chemsimtype: str = ""
+    ichremlsc: int = 1       # large-scale wet removal
+    ichremcvc: int = 1       # convective wet removal
+    ichdrdepo: int = 1       # dry deposition (1 = tendency, 2 = via BL)
+    ichcumtra: int = 1       # cumulus tracer transport
+    ichsolver: int = 1
+    idirect: int = 0         # aerosol direct effect in radiation
+    iindirect: int = 0
+    ichdustemd: int = 1      # dust emission distribution (1 Alfaro 2 Kok)
+    ichdiag: int = 0
+    ichsursrc: int = 1       # natural surface sources
+    ichebdy: int = 1         # chemistry lateral boundaries
+    rdstemfac: float = 1.0   # dust emission tuning factor
+    ichjphcld: int = 1
+    ichbion: int = 0
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
 class RegCMConfig:
     """Full model configuration (the runparams singleton equivalent,
     Main/mpplib/mod_runparams.F90)."""
@@ -303,6 +324,7 @@ class RegCMConfig:
     terrain: TerrainParam = field(default_factory=TerrainParam)
     globdat: GlobdatParam = field(default_factory=GlobdatParam)
     slaboc: SlabOceanParam = field(default_factory=SlabOceanParam)
+    chem: ChemParam = field(default_factory=ChemParam)
     raw: Dict[str, Dict[str, Any]] = field(default_factory=dict)
 
     _GROUP_MAP = {
@@ -323,6 +345,7 @@ class RegCMConfig:
         "terrainparam": ("terrain", TerrainParam),
         "globdatparam": ("globdat", GlobdatParam),
         "slabocparam": ("slaboc", SlabOceanParam),
+        "chemparam": ("chem", ChemParam),
     }
 
     @classmethod

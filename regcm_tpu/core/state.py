@@ -76,6 +76,12 @@ class HydroState(NamedTuple):
     lwsfc: jax.Array     # net downward longwave at surface (W/m2)
     cbmf: jax.Array      # Emanuel cloud-base mass flux memory (kg/m2/s)
     cldefi: jax.Array    # Betts-Miller cloud efficiency memory (mod_cu_bm)
+    # cumulus tendencies held between syncro_cum alarms (dtcum,
+    # Main/mod_cu_interface.F90:288: the scheme runs every dtcum and
+    # its tendencies persist): packed (6, kz, iy, jx) =
+    # [tten, qvten, utenx, vtenx, cldfra, cldlwc] (uncoupled)
+    cuten: jax.Array
+    cuprate: jax.Array   # held convective precip rate (kg/m²/s)
     # turbulence state: UW TCM prognostic TKE on kz+1 interfaces
     # (atmstate%tke, advected/diffused/RAW-filtered when ibltyp=2,
     # mod_tendency.F90:518-544); MYJ (ibltyp=4) stores its per-layer
@@ -111,6 +117,15 @@ class HydroState(NamedTuple):
     abstot: jax.Array
     absnxt: jax.Array
     emstot: jax.Array
+    # chemistry tracers (ichem=1): coupled p*·chi, (ntr, kz, iy, jx)
+    # with ntr=0 when chemistry is off (atms%chi/chib of
+    # mod_atm_interface; leapfrog a/b levels like qx)
+    chi_a: jax.Array
+    chi_b: jax.Array
+    # accumulated chemistry diagnostics (3, ntr, iy, jx):
+    # [0]=emission, [1]=dry deposition, [2]=wet deposition (kg/m²)
+    # (cemtrac / remdrd / wdrout+wdwout analogues, mod_che_common)
+    chemdiag: jax.Array
 
 
 class BdyState(NamedTuple):
@@ -130,10 +145,16 @@ class BdyState(NamedTuple):
     ut: jax.Array
     v0: jax.Array
     vt: jax.Array
+    # chemistry boundary pairs (mod_che_bdyco chebdy; None when
+    # chemistry is off or no CHBC data — the core then relaxes toward
+    # clean (zero) inflow air)
+    chi0: Optional[jax.Array] = None
+    chit: Optional[jax.Array] = None
 
 
 def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
-                nlak: int = 1, dtype=jnp.float32) -> HydroState:
+                nlak: int = 1, ntr: int = 0,
+                dtype=jnp.float32) -> HydroState:
     z2 = jnp.zeros((iy, jx), dtype)
     z3 = jnp.zeros((kz, iy, jx), dtype)
     z4 = jnp.zeros((nqx, kz, iy, jx), dtype)
@@ -147,6 +168,8 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
         # BM efinit: avgefi everywhere (mod_cu_bm.F90:229-236)
         cldefi=jnp.full((iy, jx), 0.6, dtype),
+        cuten=jnp.zeros((6, kz, iy, jx), dtype),
+        cuprate=z2,
         tke_a=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
         tke_b=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
         pbl0=jnp.zeros((2, iy, jx), dtype),
@@ -158,7 +181,10 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         dcsst=jnp.zeros((3, iy, jx), dtype),
         abstot=jnp.zeros(((kz + 1) * (kz + 1), iy, jx), dtype),
         absnxt=jnp.zeros((4 * kz, iy, jx), dtype),
-        emstot=jnp.zeros((kz + 1, iy, jx), dtype))
+        emstot=jnp.zeros((kz + 1, iy, jx), dtype),
+        chi_a=jnp.zeros((ntr, kz, iy, jx), dtype),
+        chi_b=jnp.zeros((ntr, kz, iy, jx), dtype),
+        chemdiag=jnp.zeros((3, ntr, iy, jx), dtype))
 
 
 def bdy_from_state(s: HydroState) -> BdyState:

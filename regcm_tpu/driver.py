@@ -24,6 +24,15 @@ from .utils.calendar import Date
 from .utils.vertical import sigma_levels
 
 
+def chem_ntr(cfg) -> int:
+    """Tracer count for the state (ntr of mod_che_indices; 0 when
+    chemistry is off)."""
+    if cfg.physics.ichem:
+        from .chem.species import build_species
+        return build_species(cfg.chem.chemsimtype).ntr
+    return 0
+
+
 def lake_layers(cfg) -> int:
     """Lake profile depth in state: ndpmax-capped 1 m layers when the
     Hostetler model is on (Share/mod_dynparam.F90:352 ndpmax=200; a
@@ -66,7 +75,7 @@ def standard_atmosphere_state(grid: ModelGrid, cfg: RegCMConfig,
     qv = np.minimum(qv, 0.015)
     nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
     s = zeros_hydro(kz, iy, jx, nqx=nqx, nlak=lake_layers(cfg),
-                    dtype=dtype)
+                    ntr=chem_ntr(cfg), dtype=dtype)
     psj = jnp.asarray(ps, dtype)
     tj = jnp.asarray(t * ps[None], dtype)
     qvj = jnp.asarray(qv * ps[None], dtype)
@@ -87,7 +96,8 @@ def nh_initial_state(core, perturb: float = 0.0, seed: int = 0
     g = core.grid
     iy, jx, kz = g.iy, g.jx, g.kz
     s = zeros_hydro(kz, iy, jx, nqx=core.nqx,
-                    nlak=lake_layers(core.cfg), dtype=core.dtype)
+                    nlak=lake_layers(core.cfg), ntr=core.ntr,
+                    dtype=core.dtype)
     ps = base.ps0
     t0 = np.asarray(base.t0)
     if perturb > 0.0:
@@ -226,7 +236,10 @@ class Model:
         return StepFlags(
             do_rad=do_rad,
             do_srf=hit(tp.dtsrf),
-            do_cum=True,
+            # syncro_cum alarm (dtcum seconds, default 300;
+            # Main/mod_params.F90:1001): cumulus tendencies are held in
+            # state between calls
+            do_cum=hit(max(tp.dtcum, self.dtsec)),
             first=(self.nstep == 0),
             # getabetot cadence (dtabem alarm,
             # Main/mod_rad_interface.F90:62-65): full LW absorptivity
@@ -342,17 +355,37 @@ class Model:
     def save_restart(self, path: str):
         from .io.restart import write_savefile
         write_savefile(path, jax.device_get(self.state), self.date,
-                       self.nstep, self.xbctime)
+                       self.nstep, self.xbctime,
+                       bdy=jax.device_get(self.bdy))
 
     def load_restart(self, path: str):
         from .io.restart import read_savefile
-        fields, date, nstep, xbctime = read_savefile(path)
+        fields, date, nstep, xbctime, bdy_fields = read_savefile(path)
         cls = type(self.state)
+        cur = self.state._asdict()
+        # zero-size leaves (ntr=0 tracers) are absent from the SAV;
+        # keep the model's zero template for them
         self.state = cls(**{
-            k: jnp.asarray(v, self.dtype) for k, v in fields.items()})
+            k: (jnp.asarray(fields[k], self.dtype) if k in fields
+                else cur[k]) for k in cls._fields})
         self.date = date
         self.nstep = nstep
         self.xbctime = xbctime
+        if bdy_fields:
+            # restore the live boundary pairs (SAV carries b0/bt +
+            # xbctime, Main/mod_savefile.F90:46-48)
+            bcls = type(self.bdy)
+            kw = {k: (jnp.asarray(bdy_fields[k], self.dtype)
+                      if k in bdy_fields else None)
+                  for k in bcls._fields}
+            self.bdy = bcls(**kw)
+
+    def attach_icbc(self, reader):
+        """Re-attach the ICBC input stream after a restart (the
+        reference re-opens the boundary file by namelist at restart;
+        the SAV already holds the current b0/bt pair + cursor, so no
+        update is needed until the next ibdyfrq alarm)."""
+        self._icbc = reader
 
     def open_output(self, outdir: Optional[str] = None,
                     append: bool = False):
@@ -372,11 +405,13 @@ class Model:
         atm_every = max(int(o.atmfrq * 3600.0 / self.dtsec), 1)
         srf_every = max(int(o.srffrq * 3600.0 / self.dtsec), 1)
         rad_every = max(int(o.radfrq * 3600.0 / self.dtsec), 1)
+        che_every = max(int(o.chemfrq * 3600.0 / self.dtsec), 1)
         if self.streams.atm.nrec == 0:
             self.streams.write_atm()
             self.streams.write_srf()
             self.streams.write_rad()
             self.streams.write_lak()
+            self.streams.write_che()
         for n in range(nsteps):
             self.step()
             self.streams.sts_accumulate()
@@ -387,6 +422,8 @@ class Model:
                 self.streams.write_lak()
             if self.nstep % rad_every == 0:
                 self.streams.write_rad()
+            if self.nstep % che_every == 0:
+                self.streams.write_che()
 
     # observability helpers
     def check_finite(self) -> bool:

@@ -70,6 +70,12 @@ class HydroCore:
         # nqx: 2 (qv,qc) for SUBEX; 5 (qv,qc,qr,qi,qs) for the 5-species
         # schemes (Main/mod_params.F90:1359-1363)
         self.nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
+        # chemistry tracer count (ntr of mod_che_indices; 0 = chem off)
+        if cfg.physics.ichem:
+            from ..chem.species import build_species
+            self.ntr = build_species(cfg.chem.chemsimtype).ntr
+        else:
+            self.ntr = 0
         self.ptop = float(g.ptop)
         self.dx = float(g.ds)
         self.dtsec = cfg.dtsec
@@ -536,6 +542,23 @@ class HydroCore:
                         jnp.where(okdn, qdot[1:kz] * fi, 0.0))
         qhten = qhten + self._vadv_flux(fqh, qdot)
 
+        # -- chemistry tracers: advection like the hydrometeors
+        #    (hadv/vadv4d on chib, mod_tendency.F90:1390-1420) ----------
+        if self.ntr:
+            chidec = jnp.maximum(s.chi_a * rpsa[None], 0.0)
+            chiten_d = self._hadv_scalar(chidec, uavg1, uavg2, vavg1,
+                                         vavg2)
+            chia = s.chi_a
+            fi_x = (self.twt1[1:] * chia[:, 1:]
+                    + self.twt2[1:] * chia[:, :-1])
+            thrx = 1.0e-30
+            fchi = jnp.where(qdot[1:kz] > 0.0,
+                             jnp.where(chia[:, :-1] > thrx,
+                                       qdot[1:kz] * fi_x, 0.0),
+                             jnp.where(chia[:, 1:] > thrx,
+                                       qdot[1:kz] * fi_x, 0.0))
+            chiten_d = chiten_d + self._vadv_flux(fchi, qdot)
+
         # -- curvature: Coriolis (mod_tendency.F90:1822-1848) ------------
         udyn = udyn + self.coriol[None] * vc * self.m_di
         vdyn = vdyn - self.coriol[None] * uc * self.m_di
@@ -563,6 +586,14 @@ class HydroCore:
             (bdy.u0 + xtd * bdy.ut) - s.u_b, self.nfd, self.ngd, dot=True)
         vdyn = vdyn + self._nudge3(
             (bdy.v0 + xtd * bdy.vt) - s.v_b, self.nfd, self.ngd, dot=True)
+        if self.ntr:
+            # chem lateral boundary (nudge toward CHBC pairs when
+            # present, else clean inflow air — mod_che_bdyco.F90
+            # nudge_chi; ichebdy)
+            chb = (bdy.chi0 + xtd * bdy.chit) \
+                if bdy.chi0 is not None else 0.0
+            chiten_d = chiten_d + self._nudge3(chb - s.chi_b,
+                                               self.nfc, self.ngc)
 
         # -- physics (mod_tendency.F90:1682-1820) ------------------------
         tphy = jnp.zeros_like(tdyn)
@@ -581,6 +612,7 @@ class HydroCore:
                           qv_vadv=qv_vadv))
         # radiation heating: tphy += psb·heatrt (mod_tendency.F90:1776)
         tphy = tphy + psb[None] * heatrt * self.m_ci
+        chiphy = sfupd.pop("_chiten", None)
 
         # -- diffusion (mod_tendency.F90:1515-1553) ----------------------
         udyn = udyn + self._diffu_dot(ubd3, xkd)
@@ -588,6 +620,9 @@ class HydroCore:
         tdyn = tdyn + self._diffu_cross(tb3, xkc)
         qvten = qvten + self._diffu_cross(qvb3, xkc)
         qhten = qhten + self._diffu_cross(qhb3, xkc)
+        if self.ntr:
+            chib3 = jnp.maximum(s.chi_b * rpsb[None], 0.0)
+            chiten_d = chiten_d + self._diffu_cross(chib3, xkc)
 
         # -- total tendencies + SUBEX condtq -----------------------------
         tten = tdyn + tphy
@@ -599,6 +634,9 @@ class HydroCore:
             tten = tten + dtc
             qvten_t = qvten_t + dqv
             qhten_t = qhten_t.at[0].add(dqc)
+        if self.ntr:
+            chiten_t = chiten_d + (chiphy if chiphy is not None
+                                   else 0.0)
         if self.iboudy == 4:
             # sponge on TOTAL tendencies (mod_tendency.F90:1481-1483,
             # pc_total): ften ← w·ften + (1−w)·bt; hydrometeor boundary
@@ -607,6 +645,8 @@ class HydroCore:
             tten = wc3 * tten + (1.0 - wc3) * bdy.tt
             qvten_t = wc3 * qvten_t + (1.0 - wc3) * bdy.qvt
             qhten_t = wc3 * qhten_t
+            if self.ntr:
+                chiten_t = wc3 * chiten_t
 
         # -- forecast t, qx at tau+1 (mod_tendency.F90:380-420) ----------
         tc = s.t_b + dt * tten * self.m_ci
@@ -615,6 +655,8 @@ class HydroCore:
         # negative-water fix: qx<0 → 1% of |3×3 neighborhood| mean
         qvc = self._negfix(qvc)
         qhc = self._negfix(qhc)
+        if self.ntr:
+            chic = self._negfix(s.chi_b + dt * chiten_t * self.m_ci)
 
         # -- PGF (mod_tendency.F90:1886-2120, ipgf=0) --------------------
         td = s.t_a * (1.0 + c.ep1 * qvdec)       # coupled p*Tv (beta_hyd=1)
@@ -700,6 +742,17 @@ class HydroCore:
         qh_a_n = jnp.where(self.m_ci > 0.5,
                            jnp.maximum(qhc + (beta - 1.0) * dqcf, 0.0),
                            s.qx_a[1:])
+        if self.ntr:
+            # tracers: RAW filter like the hydrometeors (filter_raw on
+            # atmx%chi, mod_tendency.F90:430-470)
+            dchf = self.gnu2 * (chic + s.chi_b - 2.0 * s.chi_a)
+            chi_b_n = jnp.where(self.m_ci > 0.5,
+                                jnp.maximum(s.chi_a + beta * dchf, 0.0),
+                                s.chi_b)
+            chi_a_n = jnp.where(self.m_ci > 0.5,
+                                jnp.maximum(chic + (beta - 1.0) * dchf,
+                                            0.0),
+                                s.chi_a)
         # u, v forecast + RA filter
         ucf = s.u_b + dt * uten
         vcf = s.v_b + dt * vten
@@ -747,6 +800,14 @@ class HydroCore:
         if self.iboudy in (3, 4):
             qv_a_n = self._flow_edges(qv_a_n, psa_n, ucx, vcx,
                                       qext=qv_a_n)
+        if self.ntr:
+            # tracer boundary rings: copy a→b, set a to the CHBC value
+            # (or clean air), inflow/outflow edges (chibdyflow)
+            chb_edge = (bdy.chi0 + xt2 * bdy.chit) \
+                if bdy.chi0 is not None else jnp.zeros_like(chi_a_n)
+            chi_b_n = jnp.where(ecm, chi_a_n, chi_b_n)
+            chi_a_n = jnp.where(ecm, chb_edge, chi_a_n)
+            chi_a_n = self._flow_edges(chi_a_n, psa_n, ucx, vcx)
 
         qx_a = jnp.concatenate([qv_a_n[None], qh_a_n])
         qx_b = jnp.concatenate([qv_b_n[None], qh_b_n])
@@ -761,6 +822,8 @@ class HydroCore:
                 rpsa, dt)
             sfupd = dict(sfupd, tke_a=tke_a_n, tke_b=tke_b_n)
 
+        if self.ntr:
+            sfupd = dict(sfupd, chi_a=chi_a_n, chi_b=chi_b_n)
         ns = s._replace(
             ps_a=psa_n, ps_b=psb_n, u_a=u_a_n, u_b=u_b_n,
             v_a=v_a_n, v_b=v_b_n, t_a=t_a_n, t_b=t_b_n,

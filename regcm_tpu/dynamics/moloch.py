@@ -92,6 +92,8 @@ class MolochState(NamedTuple):
     lwsfc: jax.Array     # net downward longwave at surface (W/m2)
     cbmf: jax.Array      # Emanuel cloud-base mass flux memory
     cldefi: jax.Array    # Betts-Miller cloud efficiency memory
+    cuten: jax.Array     # held cumulus tendencies (6, kz, iy, jx)
+    cuprate: jax.Array   # held convective precip rate
     # full surface/physics pack, same layouts as HydroState (MOLOCH
     # surface parity: BATS1e/lake/ice run the same schemes here —
     # mod_moloch.F90:1386 calls the identical surface_model stack)
@@ -137,6 +139,8 @@ def zeros_moloch_phys(kz: int, iy: int, jx: int, dtype=jnp.float64,
     return dict(tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
                 uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
                 cldefi=jnp.full((iy, jx), 0.6, dtype),
+                cuten=jnp.zeros((6, kz, iy, jx), dtype),
+                cuprate=z2,
                 bats=jnp.zeros((10, iy, jx), dtype),
                 seaice=jnp.zeros((4, iy, jx), dtype),
                 dcsst=jnp.zeros((3, iy, jx), dtype),

@@ -191,6 +191,31 @@ class OutputStreams:
         else:
             self.lak = None
 
+        # CHE stream (che stream id, Main/mpplib/mod_ncout.F90:143-152;
+        # mixing ratios per tracer + burden + emission/deposition
+        # accumulations)
+        self.ntr = getattr(model.core, "ntr", 0)
+        if self.ntr:
+            from ..chem.species import build_species
+            self.chnames = build_species(
+                model.cfg.chem.chemsimtype).names
+            dims["ntr"] = self.ntr
+            self.che = mk("CHE")
+            for nm in self.chnames:
+                tv(self.che, f"mixrat_{nm.lower()}",
+                   ("kz", "iy", "jx"), "kg kg-1",
+                   f"{nm} mixing ratio")
+            tv(self.che, "burden", ("ntr", "iy", "jx"), "kg m-2",
+               "Instantaneous column tracer burden")
+            tv(self.che, "emflx_acc", ("ntr", "iy", "jx"), "kg m-2",
+               "Accumulated surface emission")
+            tv(self.che, "ddflx_acc", ("ntr", "iy", "jx"), "kg m-2",
+               "Accumulated dry deposition")
+            tv(self.che, "wdflx_acc", ("ntr", "iy", "jx"), "kg m-2",
+               "Accumulated wet deposition")
+        else:
+            self.che = None
+
         self._last_rain = 0.0
         self._last_rainc = 0.0
         self._sts_reset()
@@ -200,10 +225,31 @@ class OutputStreams:
     def _sts_reset(self):
         self._sts_n = 0
         self._sts = {}
+        self._sts_upd = None
+
+    def _sts_fields(self, s):
+        """On-device (tg, ps hPa, accumulated rain, swsfc) cut to the
+        interior cross grid."""
+        import jax.numpy as jnp
+        m = self.model
+        iy, jx = m.grid.iy, m.grid.jx
+        cut = lambda a: a[..., : iy - 1, : jx - 1]
+        if m.idynamic == 3:
+            # only ps2d survives dead-code elimination under jit
+            ps = cut(m.core.mkslice(s.t, s.pai, s.qx, s.u, s.v,
+                                    s.w)["ps2d"]) / 100.0
+        else:
+            ps = (cut(s.ps_a) + m.grid.ptop) * 10.0
+        return (cut(s.tg), ps, cut(s.rainnc + s.rainc), cut(s.swsfc))
 
     def sts_accumulate(self):
-        """Per-step daily-statistics accumulation (host side); call once
-        per model step. Flushes a record at each day boundary."""
+        """Per-step daily-statistics accumulation, fully ON DEVICE
+        (the reference accumulates in-model, mod_output STS; the
+        round-2 host-side version forced a device→host transfer every
+        step). One jitted update per step; device_get only at the
+        daily flush. Call once per model step."""
+        import jax
+        import jax.numpy as jnp
         m = self.model
         if self._sts_day is None:
             self._sts_day = (m.date.year, m.date.month, m.date.day)
@@ -212,42 +258,38 @@ class OutputStreams:
             self.write_sts()
             self._sts_day = day
         s = m.state
-        iy, jx = m.grid.iy, m.grid.jx
-        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
-        tg = cut(s.tg)
-        if m.idynamic == 3:
-            ps = cut(m.core.mkslice(s.t, s.pai, s.qx, s.u, s.v,
-                                    s.w)["ps2d"]) / 100.0
-            rain = cut(s.rainnc + s.rainc)
-        else:
-            ps = (cut(s.ps_a) + m.grid.ptop) * 10.0
-            rain = cut(s.rainnc + s.rainc)
-        d = self._sts
-        if not d:
-            d["tgmax"] = tg.copy()
-            d["tgmin"] = tg.copy()
-            d["psmin"] = ps.copy()
-            d["_ps"] = ps * 0.0
-            d["_rain0"] = rain.copy()
-            d["_rainprev"] = rain.copy()
-            d["pcpmax"] = np.zeros_like(tg)
-            d["sund"] = np.zeros_like(tg)
-        d["tgmax"] = np.maximum(d["tgmax"], tg)
-        d["tgmin"] = np.minimum(d["tgmin"], tg)
-        d["psmin"] = np.minimum(d["psmin"], ps)
-        d["_ps"] += ps
-        rate = (rain - d["_rainprev"]) / max(m.dtsec, 1.0)
-        d["pcpmax"] = np.maximum(d["pcpmax"], rate)
-        d["_rainprev"] = rain
-        # sunshine: SW at surface above 120 W/m2 (WMO definition)
-        d["sund"] += np.where(cut(s.swsfc) > 120.0, m.dtsec, 0.0)
+        if not self._sts:
+            tg, ps, rain, _ = self._sts_fields(s)
+            self._sts = dict(
+                tgmax=tg, tgmin=tg, psmin=ps,
+                _ps=jnp.zeros_like(ps), _rain0=rain, _rainprev=rain,
+                pcpmax=jnp.zeros_like(tg), sund=jnp.zeros_like(tg))
+        if self._sts_upd is None:
+            dtsec = max(m.dtsec, 1.0)
+
+            def upd(acc, state):
+                tg, ps, rain, swsfc = self._sts_fields(state)
+                rate = (rain - acc["_rainprev"]) / dtsec
+                return dict(
+                    tgmax=jnp.maximum(acc["tgmax"], tg),
+                    tgmin=jnp.minimum(acc["tgmin"], tg),
+                    psmin=jnp.minimum(acc["psmin"], ps),
+                    _ps=acc["_ps"] + ps,
+                    _rain0=acc["_rain0"], _rainprev=rain,
+                    pcpmax=jnp.maximum(acc["pcpmax"], rate),
+                    sund=acc["sund"] + jnp.where(swsfc > 120.0,
+                                                 dtsec, 0.0))
+            self._sts_upd = jax.jit(upd)
+        self._sts = self._sts_upd(self._sts, s)
         self._sts_n += 1
 
     def write_sts(self):
         if not self._sts:
             return
+        import jax
         m = self.model
-        d = self._sts
+        d = {k: np.asarray(v) for k, v in
+             jax.device_get(self._sts).items()}
         n = max(self._sts_n, 1)
         secs = n * m.dtsec
         self.sts.write_record(_hours_since_epoch(m.date), {
@@ -337,6 +379,28 @@ class OutputStreams:
             "tg": cut(s.tlak[0] + 273.15), "ice": cut(s.lakice),
             "scv": cut(s.laksnow), "tlake": cut(s.tlak)})
 
+    def write_che(self):
+        """CHE record: decoupled tracer mixing ratios + burdens
+        (mod_ncout che stream; burden = Σ chi·Δσ·p*→Pa/g)."""
+        if self.che is None:
+            return
+        m = self.model
+        s = m.state
+        iy, jx = m.grid.iy, m.grid.jx
+        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
+        rps = 1.0 / np.asarray(s.ps_a)
+        chi = np.asarray(s.chi_a) * rps[None, None]
+        dsig = np.asarray(m.grid.dsigma)[None, :, None, None]
+        burden = (np.asarray(s.chi_a) * dsig).sum(axis=1) \
+            * 1000.0 / 9.80665
+        rec = {f"mixrat_{nm.lower()}": cut(chi[i])
+               for i, nm in enumerate(self.chnames)}
+        rec["burden"] = cut(burden)
+        rec["emflx_acc"] = cut(np.asarray(s.chemdiag[0]))
+        rec["ddflx_acc"] = cut(np.asarray(s.chemdiag[1]))
+        rec["wdflx_acc"] = cut(np.asarray(s.chemdiag[2]))
+        self.che.write_record(_hours_since_epoch(m.date), rec)
+
     def close(self):
         self.atm.close()
         self.srf.close()
@@ -344,3 +408,5 @@ class OutputStreams:
         self.sts.close()
         if self.lak is not None:
             self.lak.close()
+        if self.che is not None:
+            self.che.close()

@@ -72,6 +72,11 @@ class SubexOut(NamedTuple):
     qvten: jax.Array
     qcten: jax.Array
     precip: jax.Array    # surface precipitation rate (kg/m2/s)
+    # chemistry wet-removal diagnostics (ichem=1): in-cloud removal
+    # rate remrat = pptnew/qcw (1/s, mod_micro_subex.F90:234,339) and
+    # the Levin & Schwartz below-cloud rate rembc (mm/hr, :359-372)
+    remrat: jax.Array
+    rembc: jax.Array
 
 
 def subex(t, phs, pfs, qvn, qcn, rh, rho, fcc, psb, dt,
@@ -126,10 +131,17 @@ def subex(t, phs, pfs, qvn, qcn, rh, rho, fcc, psb, dt,
         pptnew = jnp.where(active, pptnew, 0.0)
         pptsum = pptsum + pptnew * dpg
         qcten_k = -pptnew * psb
-        return pptsum, (tten_k, qvten_k, qcten_k)
+        remrat_k = jnp.where(active, pptnew / jnp.maximum(qcw, 1e-30),
+                             0.0)
+        return pptsum, (tten_k, qvten_k, qcten_k, remrat_k)
 
     pptsum0 = jnp.zeros_like(psb)
-    pptsum, (ttens, qvtens, qctens) = jax.lax.scan(
+    pptsum, (ttens, qvtens, qctens, remrat) = jax.lax.scan(
         layer, pptsum0, jnp.arange(kz))
+    # below-cloud washout rate (mm/hr): rembc(k) = Σ_{kk<k} remrat(kk)
+    # · qcw(k) · Δp(k)/g (mod_micro_subex.F90:359-372, ported verbatim
+    # including the k-level qcw/Δp factors)
+    crem = jnp.cumsum(remrat, axis=0) - remrat
+    rembc = jnp.where(remrat > 0.0, crem * qcn * dpovg, 0.0)
     return SubexOut(tten=ttens, qvten=qvtens, qcten=qctens,
-                    precip=pptsum)
+                    precip=pptsum, remrat=remrat, rembc=rembc)

@@ -44,6 +44,10 @@ class HoltslagOut(NamedTuple):
     qcten: jax.Array
     zpbl: jax.Array       # PBL height (m)
     kpbl: jax.Array       # PBL top level index (float)
+    # scalar diffusion coefficients for the tracer solve (the chi
+    # tridiagonal block, mod_pbl_holtbl.F90:985-1095, reuses these)
+    alphak: jax.Array
+    betak_q: jax.Array
 
 
 def _tridiag_implicit(f, alphak, betak, dt, sfc_extra):
@@ -311,4 +315,5 @@ def holtbl(tpatm, tatm, patm, patmf, qv, qc, ux, vx, udd, vdd,
         qvten = qvten * m_ci
         qcten = qcten * m_ci
     return HoltslagOut(uten=uten, vten=vten, tten=tten, qvten=qvten,
-                       qcten=qcten, zpbl=zpbl, kpbl=kpbl)
+                       qcten=qcten, zpbl=zpbl, kpbl=kpbl,
+                       alphak=akzz2, betak_q=betak_q)

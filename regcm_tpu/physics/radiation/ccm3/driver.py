@@ -76,7 +76,8 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
                    aldirs, aldifs, aldirl, aldifl, albvs, albvl,
                    emiss, ghg, eccf=1.0, solcon=1367.0,
                    five_species=False, col_chunk=16384,
-                   cache=None, want_cache=False):
+                   cache=None, want_cache=False,
+                   aermmr=None, aertab=None):
     """Full CCM3 column radiation on a (kz, iy, jx) grid slice.
 
     cldlwc in g/m³ (in-cloud), dzq layer thickness (m), pb3/pf3 Pa,
@@ -95,7 +96,14 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
     build (radems/radabs and the trace-gas path work) is skipped and
     the cached tensors feed radclw directly. ``want_cache=True``
     returns the freshly built tensors in that grid layout as
-    ``cache_out`` (else None).
+    ``cache_out`` (else None). The cache always holds the GAS-ONLY
+    tensors; the aerosol modification below is applied per call.
+
+    aermmr (ntr, kz, iy, jx) + aertab (chem.optics.AerosolOptics):
+    aerosol direct effect (aeroppt external mixture into the SW
+    delta-Eddington + the grey dust LW transmission applied to
+    abstot/absnxt/emstot exactly as radclw does with aertrlw,
+    mod_rad_radiation.F90:2007-2015).
     """
     kz, iy, jx = tb3.shape
     ncol = iy * jx
@@ -117,22 +125,28 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
         ckeys = ("abstot", "absnxt", "emstot")
         argsc = tuple(p3(cache[k]) for k in ckeys) \
             if cache is not None else ()
+        ntr_a = aermmr.shape[0] if aermmr is not None else 0
+        argsa = (p3(aermmr.reshape(ntr_a * kz, iy, jx)),) \
+            if aermmr is not None else ()
 
         def one(chunk_args):
-            a3, a2, ac = chunk_args
+            a3, a2, ac, aa = chunk_args
             # chunk columns → a (kzdim, chunk, 1) grid slice
             g3 = [x.T[:, :, None] for x in a3]
             g2 = [x[:, None] for x in a2]
             ch = dict(zip(ckeys, (x.T[:, :, None] for x in ac))) \
                 if cache is not None else None
+            am = aa[0].T.reshape(ntr_a, kz, col_chunk, 1) \
+                if aermmr is not None else None
             return ccm3_radiation(*g3, *g2, ghg, eccf=eccf,
                                   solcon=solcon,
                                   five_species=five_species,
                                   col_chunk=0, cache=ch,
-                                  want_cache=want_cache)
+                                  want_cache=want_cache,
+                                  aermmr=am, aertab=aertab)
 
         res, cch = jax.lax.map(one, (tuple(args3), tuple(args2),
-                                     argsc))
+                                     argsc, argsa))
         def un3(a):      # (nch, kzd, chunk, 1) → (kzd, iy, jx)
             kzd = a.shape[1]
             flat = jnp.moveaxis(a[..., 0], 1, 2).reshape(
@@ -208,12 +222,24 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
     cpwpl = (tb.AMCO2 / tb.AMD) * 0.5 / (tb.EGRAVGTS * tb.SSLP)
     plco2 = ghg["co2vmr"] * cpwpl * pint ** 2
 
+    # ---- aerosol optical properties (aeroppt) --------------------------
+    aer_sw = None
+    aer_ucum = None
+    if aermmr is not None and aertab is not None:
+        from ....chem.optics import (sw_aerosol_mixture, lw_dust_path)
+        amc = jnp.moveaxis(
+            jnp.maximum(aermmr, 0.0).reshape(aermmr.shape[0], kz, ncol),
+            2, 1)                                   # (ntr, ncol, kz)
+        pint_pa = coli(pf3)
+        aer_sw = sw_aerosol_mixture(amc, pint_pa, aertab)
+        aer_ucum = lw_dust_path(amc, pint_pa, aertab.lw_mask)
+
     # ---- shortwave -----------------------------------------------------
     czen = jnp.where(c2(coszrs) < 1.0e-3, 0.0, c2(coszrs))
     sw = radcsw(pint, q, o3mmr, cld, clwp, rel, rei, fice,
                 eccf, czen, c2(aldirs), c2(aldifs), c2(aldirl),
                 c2(aldifl), c2(albvs), c2(albvl),
-                ghg["co2mmr"], solcon * 1000.0)
+                ghg["co2mmr"], solcon * 1000.0, aer=aer_sw)
 
     # ---- longwave ------------------------------------------------------
     tp = lwmod.radtpl(c2(tg), t, pmln, q, piln, pint, plh2o)
@@ -242,16 +268,36 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
         absnxt = cache["absnxt"].reshape(
             kz * 4, ncol).T.reshape(ncol, kz, 4)
         emsgastot = cache["emstot"].reshape(kz + 1, ncol).T
-    effcldp = jnp.concatenate(
-        [effcld_lay, jnp.zeros((ncol, 1), t.dtype)], axis=1)
-    lwr = lwmod.radclw(c2(tg), c2(emiss), effcldp, tp,
-                       emsgastot, abstot, absnxt, pint)
     cache_out = None
     if want_cache:
+        # the cache always stores the gas-only tensors (getabetot)
         cache_out = dict(
             abstot=abstot.reshape(ncol, -1).T.reshape(-1, iy, jx),
             absnxt=absnxt.reshape(ncol, -1).T.reshape(-1, iy, jx),
             emstot=emsgastot.T.reshape(kz + 1, iy, jx))
+    if aer_ucum is not None:
+        # grey dust LW (aertrlw application, radclw :2007-2015)
+        from ....chem.optics import QABSLW_DUST, FIVEOTHREE
+        trkk = jnp.exp(-FIVEOTHREE * QABSLW_DUST
+                       * jnp.abs(aer_ucum[:, None, :]
+                                 - aer_ucum[:, :, None]))
+        abstot = 1.0 - (1.0 - abstot) * trkk
+        emsgastot = 1.0 - (1.0 - emsgastot) * trkk[:, :, 0]
+        trlay = jnp.exp(-FIVEOTHREE * QABSLW_DUST
+                        * (aer_ucum[:, 1:] - aer_ucum[:, :-1]))
+        pi_a, pi_b = pint[:, :-1], pint[:, 1:]
+        p1 = 0.5 * (pmid + pi_b)
+        p2 = 0.5 * (pmid + pi_a)
+        rdpnmsq = 1.0 / (pi_b ** 2 - pi_a ** 2)
+        uinpl = jnp.stack([(pi_b ** 2 - p1 ** 2) * rdpnmsq,
+                           -(pi_a ** 2 - p2 ** 2) * rdpnmsq,
+                           -(pi_a ** 2 - p1 ** 2) * rdpnmsq,
+                           (pi_b ** 2 - p2 ** 2) * rdpnmsq], axis=2)
+        absnxt = 1.0 - (1.0 - absnxt) * trlay[:, :, None] ** uinpl
+    effcldp = jnp.concatenate(
+        [effcld_lay, jnp.zeros((ncol, 1), t.dtype)], axis=1)
+    lwr = lwmod.radclw(c2(tg), c2(emiss), effcldp, tp,
+                       emsgastot, abstot, absnxt, pint)
 
     # total cloud fraction (radctl :980-995, max-random overlap)
     pair_max = jnp.maximum(cldp[:, :-1], cldp[:, 1:])

@@ -137,11 +137,17 @@ class SWResult(NamedTuple):
 
 def radcsw(pint, h2ommr, o3mmr, cld, clwp, rel, rei, fice, eccf,
            czen, adirsw, adifsw, adirlw, adiflw, asw, alw,
-           co2mmr, scon):
+           co2mmr, scon, aer=None):
     """Shortwave driver (radcsw, mod_rad_radiation.F90:1155-1821).
 
     pint: interface pressures (ncol, kz+1) in dynes/cm²; cld/clwp/...:
     (ncol, kz) layer fields (clwp g/m²); czen: cosine zenith.
+
+    aer: optional aerosol external-mixture arrays
+    (chem.optics.SWAerosol, each (ncol, kz+1, nspi) with the padded top
+    layer) added to the delta-Eddington optical properties exactly like
+    the reference's tauxar3d/tauasc3d/gtota3d/ftota3d terms
+    (radcsw :1530-1560 full-sky, :2630-2660 clear-sky).
     """
     ncol, kz = h2ommr.shape
     dtype = h2ommr.dtype
@@ -239,15 +245,22 @@ def radcsw(pint, h2ommr, o3mmr, cld, clwp, rel, rei, fice, eccf,
         tauray = trayoslp * (pflx[:, 1:] - pflx[:, :-1])   # (ncol, kz+1)
         taugab = tb.ABH2O[ns] * uh2o + tb.ABO3[ns] * uo3 \
             + tb.ABCO2[ns] * uco2 + tb.ABO2[ns] * uo2
-        tautot = tauxcl + tauxci + tauray + taugab
-        taucsc = tauxcl * wcl + tauxci * wci
+        if aer is not None:
+            atau = aer.tauxar[..., ns]
+            aasc = aer.tauasc[..., ns]
+            agt = aer.gtota[..., ns]
+            aft = aer.ftota[..., ns]
+        else:
+            atau = aasc = agt = aft = 0.0
+        tautot = tauxcl + tauxci + tauray + taugab + atau
+        taucsc = tauxcl * wcl + tauxci * wci + aasc
         wtau = tb.WRAY * tauray
         wt = wtau + taucsc
         wtot = jnp.minimum(wt / tautot, tb.VERYNEARONE)
         gtot = (wtau * tb.GRAY + gcl * tauxcl * wcl
-                + gci * tauxci * wci) / wt
+                + gci * tauxci * wci + agt) / wt
         ftot = (wtau * tb.FRAY + fcl * tauxcl * wcl
-                + fci * tauxci * wci) / wt
+                + fci * tauxci * wci + aft) / wt
         rdir, rdif, tdir, tdif, explay = _delta_eddington(
             wtot, ftot, tautot, gtot, czen_s[:, None])
         exptdn, tottrn, rdndif = _add_down(rdir, rdif, tdir, tdif,
@@ -295,11 +308,20 @@ def radcsw(pint, h2ommr, o3mmr, cld, clwp, rel, rei, fice, eccf,
         tauray1 = trayoslp * pflx[:, -1]
         taugab1 = tb.ABH2O[ns] * uth2o + tb.ABCO2[ns] * utco2 \
             + tb.ABO2[ns] * uto2
-        tautot1 = tauray1 + taugab1
-        wtot1 = jnp.minimum(tb.WRAY * tauray1 / tautot1,
+        if aer is not None:
+            atau1 = jnp.sum(aer.tauxar[..., ns], axis=1)
+            aasc1 = jnp.sum(aer.tauasc[..., ns], axis=1)
+            agt1 = jnp.sum(aer.gtota[..., ns], axis=1)
+            aft1 = jnp.sum(aer.ftota[..., ns], axis=1)
+        else:
+            atau1 = aasc1 = agt1 = aft1 = 0.0
+        tautot1 = tauray1 + taugab1 + atau1
+        wtot1 = jnp.minimum((tb.WRAY * tauray1 + aasc1) / tautot1,
                             tb.VERYNEARONE)
-        gtot1 = (tb.GRAY * tb.WRAY * tauray1) / (wtot1 * tautot1)
-        ftot1 = (tb.FRAY * tb.WRAY * tauray1) / (wtot1 * tautot1)
+        gtot1 = (tb.GRAY * tb.WRAY * tauray1 + agt1) \
+            / (wtot1 * tautot1)
+        ftot1 = (tb.FRAY * tb.WRAY * tauray1 + aft1) \
+            / (wtot1 * tautot1)
         rdir1, rdif1, tdir1, tdif1, explay1 = _delta_eddington(
             wtot1, ftot1, tautot1, gtot1, czen_s)
         # gate layer-1 computation on transmission through the o3 layer

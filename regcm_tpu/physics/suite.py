@@ -60,8 +60,28 @@ def validate_physics(cfg):
                 f"regcm_tpu (supported: {sorted(ok)}). Refusing to run "
                 f"with a silently-disabled scheme.")
     if p.ichem != 0:
-        raise ValueError("ichem=1 (interactive chemistry) is not yet "
-                         "implemented in regcm_tpu")
+        # validate the tracer set (raises for unsupported chemsimtypes
+        # — gas phase CBMZ/CB6r2, SSLT/CARB/SULF stay refused loudly)
+        from ..chem.species import build_species
+        build_species(cfg.chem.chemsimtype)
+        if cfg.core.idynamic != 1:
+            raise ValueError(
+                "ichem=1 is implemented for the hydrostatic core "
+                "(idynamic=1) only in regcm_tpu; tracer advection for "
+                "the NH/MOLOCH cores is not wired yet")
+        if int(cfg.chem.ichdrdepo) == 2:
+            raise ValueError(
+                "chemparam ichdrdepo=2 (deposition through the BL "
+                "flux) is not implemented; use ichdrdepo=1")
+        if p.ibltyp != 1:
+            raise ValueError(
+                "ichem=1 tracer PBL mixing is implemented for "
+                "ibltyp=1 (Holtslag) only")
+        if p.ipptls != 1:
+            raise ValueError(
+                "ichem=1 wet scavenging needs the SUBEX removal-rate "
+                "diagnostics (ipptls=1); nogtom/WSM5 remrat is not "
+                "wired yet")
     if cfg.core.idynamic == 3 and 1 in (abs(p.icup_lnd), abs(p.icup_ocn)):
         raise ValueError(
             "icup=1 (Kuo) requires the sigma-p cores' deferred qv "
@@ -139,6 +159,17 @@ class PhysicsSuite:
         self.solcon = float(cfg.physics.extras.get("fixedsolarval",
                                                    1367.0))
         self.xlat = jnp.asarray(grid.xlat)
+        # interactive chemistry (tractend2 equivalent; ichem=1)
+        self.chem = None
+        self.aertab = None
+        if cfg.physics.ichem:
+            from ..chem.tend import build_chem
+            self.chem = build_chem(cfg, grid)
+            if int(cfg.chem.idirect) >= 2:
+                # aerosol direct effect fed back into radiation
+                # (idirect=2; aeroppt tables for the external mixture)
+                from ..chem.optics import dust_optics_tables
+                self.aertab = dust_optics_tables(self.chem.ntr)
         # BATS1e land model (mod_bats_*, the reference's default land
         # scheme): per-point landuse/texture from the DOMAIN fields
         # (grid.extras lveg/ltex; defaults: short grass over land,
@@ -362,8 +393,23 @@ class PhysicsSuite:
         sfupd: Dict[str, jax.Array] = {}
 
         # -- cumulus (mod_tendency.F90:1686; cu_interface :251-535) ------
-        # land/ocean scheme split: run each scheme dense, blend by mask
-        cu = self._cumulus(core, atms, s, flags, dyn, dt)
+        # land/ocean scheme split: run each scheme dense, blend by mask.
+        # The scheme runs on the syncro_cum alarm (dtcum,
+        # mod_cu_interface.F90:288) and its tendencies persist in state
+        # between calls; Kuo bypasses the alarm (deferred qv-vadv
+        # contract needs the flow every step).
+        if self.kuo_defer or flags.do_cum:
+            cu = self._cumulus(core, atms, s, flags, dyn, dt)
+            if not self.kuo_defer:
+                sfupd["cuten"] = jnp.stack(
+                    [cu["tten"], cu["qvten"], cu["utenx"], cu["vtenx"],
+                     cu["cldfra"], cu["cldlwc"]])
+                sfupd["cuprate"] = cu["prate"]
+        else:
+            cu = dict(tten=s.cuten[0], qvten=s.cuten[1],
+                      utenx=s.cuten[2], vtenx=s.cuten[3],
+                      cldfra=s.cuten[4], cldlwc=s.cuten[5],
+                      prate=s.cuprate, has_precip=True, state={})
         cldfra_cum = cu["cldfra"]
         cldlwc_cum = cu["cldlwc"]
         tphy = tphy + cu["tten"] * cpl[None] * m_ci
@@ -382,6 +428,7 @@ class PhysicsSuite:
             float(self.cfg.geo.ds), landmask=core.grid_lndocn)
         cldlwc, cldfra = combine_clouds(fcc, qcb3, rho, tb3,
                                         cldfra_cum, cldlwc_cum)
+        mic_remrat = mic_strappt = None
         if self.cfg.physics.ipptls == 1:
             out = subex(tb3, pb3, pf3, qvb3, qcb3, rh, rho, fcc, cpl, dt,
                         core.qck1, core.cgul, core.cevap, core.caccr)
@@ -390,6 +437,10 @@ class PhysicsSuite:
             qcphy = qcphy + out.qcten * m_ci
             precip = out.precip * m_ci
             sfupd["rainnc"] = s.rainnc + precip * core.dtsec
+            # chemistry removal-rate diagnostics (remrat 1/s, rembc
+            # mm/hr → mm/s via /3600, mod_che_tend.F90:124-127)
+            mic_remrat = out.remrat
+            mic_strappt = out.rembc / 3600.0
         elif self.cfg.physics.ipptls == 2:
             # Nogherotto-Tompkins 5-species implicit microphysics
             # (nogtom, Main/microlib/mod_micro_nogtom.F90:358).
@@ -479,6 +530,12 @@ class PhysicsSuite:
                     else jnp.zeros_like(qcb3)
                 abem_cache = None if flags.do_abem else dict(
                     abstot=s.abstot, absnxt=s.absnxt, emstot=s.emstot)
+                aer_kw = {}
+                if self.aertab is not None:
+                    aer_kw = dict(
+                        aermmr=jnp.maximum(s.chi_b, 0.0)
+                        * atms["rpsb"][None],
+                        aertab=self.aertab)
                 rad, abem_out = ccm3_radiation(
                     tb3, qvb3, qcb3, qib3, pb3, pf3, rh, dzq,
                     cldfra, cldlwc, coszrs, s.tg, core.grid_lndocn,
@@ -486,7 +543,8 @@ class PhysicsSuite:
                     albvs, albvl, emis2d_b,
                     self.ghg_mmr, eccf=1.0, solcon=self.solcon,
                     five_species=(core.nqx == 5),
-                    cache=abem_cache, want_cache=flags.do_abem)
+                    cache=abem_cache, want_cache=flags.do_abem,
+                    **aer_kw)
                 if abem_out is not None:
                     sfupd.update(abem_out)
                 heatrt = rad.heatrt * m_ci
@@ -636,6 +694,7 @@ class PhysicsSuite:
                 kmx, dt, ricr=self.ricr,
                 cross2dot_fn=None if mo else cross2dot,
                 m_di=None if mo else core.m_di, m_ci=core.m_ci)
+            hout = out
             tphy = tphy + out.tten
             qvphy = qvphy + out.qvten
             qcphy = qcphy + out.qcten
@@ -740,8 +799,9 @@ class PhysicsSuite:
 
         # -- shallow convection (any icup<0; mod_tendency.F90:316) -------
         # runs on the TOTAL (dyn+phy) tendencies after everything else,
-        # like the reference's post-summation call site.
-        if self.shallow and dyn is not None and flags.do_cum:
+        # like the reference's post-summation call site — every step
+        # (outside the syncro_cum alarm).
+        if self.shallow and dyn is not None:
             from .cumulus.shallow import shallcu
             iy, jx = tb3.shape[1], tb3.shape[2]
             ncol = iy * jx
@@ -755,6 +815,36 @@ class PhysicsSuite:
             unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
             tphy = tphy + unflip(out.outts) * cpl[None] * m_ci
             qvphy = qvphy + unflip(out.outqs) * cpl[None] * m_ci
+
+        # -- chemistry (tractend2 call site, mod_tendency.F90:1821) ------
+        if self.chem is not None:
+            zero_r = jnp.zeros_like(tb3)
+            chiten_chem, cdiag = self.chem(
+                core, atms, s, fcc, cu["cldfra"],
+                mic_remrat if mic_remrat is not None else zero_r,
+                mic_strappt if mic_strappt is not None else zero_r,
+                cu["prate"] * m_ci, dt)
+            # tracer vertical turbulent mixing: the holtbl chi
+            # tridiagonal block (mod_pbl_holtbl.F90:985-1095) with the
+            # scalar diffusion coefficients; drydepv=0 when
+            # ichdrdepo=1 (deposition applied in settling_tend)
+            if self.cfg.physics.ibltyp == 1:
+                from .pbl.holtslag import _tridiag_implicit
+                rpsb3 = atms["rpsb"]
+                chib3 = jnp.maximum(s.chi_b * rpsb3[None], 0.0)
+                chip = jax.vmap(
+                    lambda fld: _tridiag_implicit(
+                        fld, hout.alphak, hout.betak_q, dt, 0.0))(chib3)
+                chiten_chem = chiten_chem + (chip - chib3) / dt \
+                    * cpl[None] * m_ci
+            sfupd["_chiten"] = chiten_chem
+            # accumulate emission/deposition burdens (kg/m²)
+            zf = jnp.zeros_like(cdiag.get(
+                "emflx", s.chemdiag[0]))
+            sfupd["chemdiag"] = jnp.stack([
+                s.chemdiag[0] + cdiag.get("emflx", zf) * core.dtsec,
+                s.chemdiag[1] + cdiag.get("ddflx", zf) * core.dtsec,
+                s.chemdiag[2] + cdiag.get("wdflx", zf) * core.dtsec])
 
         # couple the accumulated cross-grid wind tendencies onto the
         # momentum grid (uvcross2dot ×p*_dot for the B-grid cores,

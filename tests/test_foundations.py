@@ -190,12 +190,15 @@ def test_testing_corpus_runability_matrix():
             built.append(name)
         except ValueError as e:
             refused.append((name, str(e)))
-    # chemistry cases must refuse loudly (ichem=1 not implemented)
+    # DUST chemistry (test_008) now builds; the gas-phase cases
+    # (CBMZ, test_011/013) must refuse loudly until their solvers land
     refused_names = {n for n, _ in refused}
-    for chem in ("test_008.in", "test_011.in", "test_013.in"):
-        assert chem in refused_names, f"{chem} should refuse (ichem=1)"
+    assert "test_008.in" in built, "DUST case must build (ichem=1)"
+    for chem in ("test_011.in", "test_013.in"):
+        assert chem in refused_names, \
+            f"{chem} should refuse (gas-phase chemistry)"
     for n, msg in refused:
         assert "not" in msg and len(msg) > 20, \
             f"{n} refused without a clear message: {msg}"
-    # every non-chemistry case builds with its exact scheme set
-    assert len(built) == 13, (built, refused)
+    # every other case builds with its exact scheme set
+    assert len(built) == 14, (built, refused)

