@@ -153,7 +153,7 @@ class BdyState(NamedTuple):
 
 
 def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
-                nlak: int = 1, ntr: int = 0,
+                nlak: int = 1, ntr: int = 0, nnsg: int = 1,
                 dtype=jnp.float32) -> HydroState:
     z2 = jnp.zeros((iy, jx), dtype)
     z3 = jnp.zeros((kz, iy, jx), dtype)
@@ -176,7 +176,9 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         tlak=jnp.zeros((nlak, iy, jx), dtype),
         lakhi=jnp.full((iy, jx), 0.01, dtype),
         lakice=z2, laksnow=z2, laksnag=z2,
-        bats=jnp.zeros((10, iy, jx), dtype),
+        # BATS pack: per-subcell (10, nnsg, iy, jx) when nsg>1
+        bats=(jnp.zeros((10, nnsg, iy, jx), dtype) if nnsg > 1
+              else jnp.zeros((10, iy, jx), dtype)),
         seaice=jnp.zeros((4, iy, jx), dtype),
         dcsst=jnp.zeros((3, iy, jx), dtype),
         abstot=jnp.zeros(((kz + 1) * (kz + 1), iy, jx), dtype),

@@ -75,7 +75,8 @@ def standard_atmosphere_state(grid: ModelGrid, cfg: RegCMConfig,
     qv = np.minimum(qv, 0.015)
     nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
     s = zeros_hydro(kz, iy, jx, nqx=nqx, nlak=lake_layers(cfg),
-                    ntr=chem_ntr(cfg), dtype=dtype)
+                    ntr=chem_ntr(cfg),
+                    nnsg=max(int(cfg.dim.nsg), 1) ** 2, dtype=dtype)
     psj = jnp.asarray(ps, dtype)
     tj = jnp.asarray(t * ps[None], dtype)
     qvj = jnp.asarray(qv * ps[None], dtype)
@@ -175,13 +176,15 @@ class Model:
                 else self.core.step
         if getattr(physics, "land_scheme", "") == "bats1e":
             # initbats cold start: slmo soil water, Tg-initialized
-            # leaf/subsoil temperatures (mod_bats_common.F90)
+            # leaf/subsoil temperatures (mod_bats_common.F90);
+            # per-subcell tables when nsg>1
             from .physics.surface.bats import bats_init_state
             tg0 = np.asarray(self.state.tg)
             tg0 = np.where(tg0 > 100.0, tg0, 288.0)
-            b0 = bats_init_state(
-                physics.bats_ss_np, self.grid.lndocn, tg0,
-                self.grid.iy, self.grid.jx)
+            ss_np = physics.bats_ss_sub_np \
+                if getattr(physics, "nnsg", 1) > 1 \
+                else physics.bats_ss_np
+            b0 = bats_init_state(ss_np, self.grid.lndocn, tg0)
             self.state = self.state._replace(
                 bats=jnp.asarray(b0, dtype))
         if cfg.physics.lakemod == 1:
@@ -420,6 +423,7 @@ class Model:
             if self.nstep % srf_every == 0:
                 self.streams.write_srf()
                 self.streams.write_lak()
+                self.streams.write_sub()
             if self.nstep % rad_every == 0:
                 self.streams.write_rad()
             if self.nstep % che_every == 0:

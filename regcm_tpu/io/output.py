@@ -216,6 +216,24 @@ class OutputStreams:
         else:
             self.che = None
 
+        # SUB stream: per-subcell surface fields when nsg>1
+        # (sub stream id, Main/mpplib/mod_ncout.F90:143-152)
+        self.nnsg = getattr(model.core.physics, "nnsg", 1) \
+            if model.core.physics is not None else 1
+        if self.nnsg > 1:
+            dims["nnsg"] = self.nnsg
+            self.sub = mk("SUB")
+            tv(self.sub, "tg_sub", ("nnsg", "iy", "jx"), "K",
+               "Subgrid ground (subsoil) temperature")
+            tv(self.sub, "tlef_sub", ("nnsg", "iy", "jx"), "K",
+               "Subgrid leaf temperature")
+            tv(self.sub, "scv_sub", ("nnsg", "iy", "jx"), "kg m-2",
+               "Subgrid snow water equivalent")
+            tv(self.sub, "smu_sub", ("nnsg", "iy", "jx"), "kg m-2",
+               "Subgrid upper-layer soil water")
+        else:
+            self.sub = None
+
         self._last_rain = 0.0
         self._last_rainc = 0.0
         self._sts_reset()
@@ -353,10 +371,14 @@ class OutputStreams:
                "uvdrag": cut(s.uvdrag), "rsns": cut(s.swsfc),
                "rlns": cut(s.lwsfc), "ps": cut(dec["ps"])}
         if self.has_bats:
-            rec["scv"] = cut(s.bats[4])
-            rec["smu"] = cut(s.bats[6])
-            rec["smr"] = cut(s.bats[7])
-            rec["tlef"] = cut(s.bats[1])
+            # with nsg>1 the pack is per-subcell: SRF carries the
+            # subcell mean, SUB the full distribution
+            agg = (lambda a: cut(a).mean(axis=0)) if self.nnsg > 1 \
+                else cut
+            rec["scv"] = agg(s.bats[4])
+            rec["smu"] = agg(s.bats[6])
+            rec["smr"] = agg(s.bats[7])
+            rec["tlef"] = agg(s.bats[1])
         self.srf.write_record(_hours_since_epoch(m.date), rec)
 
     def write_rad(self):
@@ -401,6 +423,18 @@ class OutputStreams:
         rec["wdflx_acc"] = cut(np.asarray(s.chemdiag[2]))
         self.che.write_record(_hours_since_epoch(m.date), rec)
 
+    def write_sub(self):
+        """SUB record: per-subcell BATS pack slices."""
+        if self.sub is None:
+            return
+        m = self.model
+        s = m.state
+        iy, jx = m.grid.iy, m.grid.jx
+        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
+        self.sub.write_record(_hours_since_epoch(m.date), {
+            "tg_sub": cut(s.bats[0]), "tlef_sub": cut(s.bats[1]),
+            "scv_sub": cut(s.bats[4]), "smu_sub": cut(s.bats[6])})
+
     def close(self):
         self.atm.close()
         self.srf.close()
@@ -410,3 +444,5 @@ class OutputStreams:
             self.lak.close()
         if self.che is not None:
             self.che.close()
+        if self.sub is not None:
+            self.sub.close()

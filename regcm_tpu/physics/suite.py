@@ -59,6 +59,16 @@ def validate_physics(cfg):
                 f"physicsparam {name}={val} is not implemented in "
                 f"regcm_tpu (supported: {sorted(ok)}). Refusing to run "
                 f"with a silently-disabled scheme.")
+    if cfg.dim.nsg > 1:
+        if cfg.core.idynamic == 3:
+            raise ValueError(
+                "dimparam nsg>1 (subgrid surface) is not wired for "
+                "the MOLOCH core yet (idynamic=3)")
+        if p.ichem != 0:
+            raise ValueError(
+                "ichem=1 with nsg>1 subgrid surface is not wired yet")
+        if str(p.extras.get("land_scheme", "bats1e")) != "bats1e":
+            raise ValueError("nsg>1 requires the BATS1e land scheme")
     if p.ichem != 0:
         # validate the tracer set (raises for unsupported chemsimtypes
         # — gas phase CBMZ/CB6r2, SSLT/CARB/SULF stay refused loudly)
@@ -176,6 +186,11 @@ class PhysicsSuite:
         # ocean class 15 over water, loam texture)
         self.land_scheme = str(cfg.physics.extras.get("land_scheme",
                                                       "bats1e"))
+        # nnsg subgrid: nsg×nsg surface subcells per coarse cell
+        # (Share/mod_dynparam.F90 nsg; BATS batched over nnsg,
+        # Main/batslib/mod_bats_common.F90 + the rdnnsg flux averaging
+        # of Main/mod_lm_interface.F90:542-545)
+        self.nnsg = max(int(cfg.dim.nsg), 1) ** 2
         if self.land_scheme == "bats1e":
             import numpy as _np
             from .surface.bats import soil_static
@@ -186,6 +201,18 @@ class PhysicsSuite:
             self.bats_ss_np = soil_static(lveg, ltex)
             self.bats_ss = {k: jnp.asarray(v)
                             for k, v in self.bats_ss_np.items()}
+            if self.nnsg > 1:
+                shp = (self.nnsg, grid.iy, grid.jx)
+                lvs = _np.asarray(grid.extras.get(
+                    "lveg_sub", _np.broadcast_to(lveg, shp)))
+                lts = _np.asarray(grid.extras.get(
+                    "ltex_sub", _np.broadcast_to(ltex, shp)))
+                # per-subcell land mask (ocean/lake classes 14/15)
+                self.lnd_sub = jnp.asarray(
+                    ((lvs != 14) & (lvs != 15)).astype(float))
+                self.bats_ss_sub_np = soil_static(lvs, lts)
+                self.bats_ss_sub = {k: jnp.asarray(v) for k, v
+                                    in self.bats_ss_sub_np.items()}
         # Hostetler lake model (lakemod=1, mod_ocn_lake.F90): static
         # depth index / extinction / mask from the DOMAIN lake-depth
         # field (grid.extras["dhlake"], m)
@@ -498,20 +525,40 @@ class PhysicsSuite:
             if self.land_scheme == "bats1e":
                 # BATS two-band direct/diffuse land albedo
                 # (albedobats → mod_bats_albedo.F90:77), ocean albedo
-                # from the bulk zenith formula
+                # from the bulk zenith formula.  With nnsg>1 the
+                # albedo/emissivity are computed per subcell and
+                # averaged over land subcells (lm%emissivity =
+                # sum(lms%emisv)/nnsg, mod_lm_interface.F90:437).
                 from .surface.bats import bats_albedo, fseas_fn
-                swdr, lwdr, swdf, lwdf = bats_albedo(
-                    coszrs, s.bats[0], s.bats[6], s.bats[4],
-                    s.bats[5], self.bats_ss, core.grid_lndocn)
+                if self.nnsg > 1:
+                    bc = lambda a: jnp.broadcast_to(
+                        a[None], (self.nnsg,) + a.shape)
+                    swdr, lwdr, swdf, lwdf = bats_albedo(
+                        bc(coszrs), s.bats[0], s.bats[6], s.bats[4],
+                        s.bats[5], self.bats_ss_sub, self.lnd_sub)
+                    nl = jnp.maximum(jnp.sum(self.lnd_sub, 0), 1.0)
+                    mean_l = lambda a: jnp.sum(a * self.lnd_sub, 0) \
+                        / nl
+                    swdr, lwdr, swdf, lwdf = (mean_l(swdr),
+                                              mean_l(lwdr),
+                                              mean_l(swdf),
+                                              mean_l(lwdf))
+                    emis_land = mean_l(
+                        self.bats_ss_sub["lndemiss"]
+                        - self.bats_ss_sub["seasemi"]
+                        * fseas_fn(s.bats[0]))
+                else:
+                    swdr, lwdr, swdf, lwdf = bats_albedo(
+                        coszrs, s.bats[0], s.bats[6], s.bats[4],
+                        s.bats[5], self.bats_ss, core.grid_lndocn)
+                    emis_land = self.bats_ss["lndemiss"] \
+                        - self.bats_ss["seasemi"] * fseas_fn(s.bats[0])
                 lmm = core.grid_lndocn > 0.5
                 aldirs = jnp.where(lmm, swdr, alb)
                 aldifs = jnp.where(lmm, swdf, alb)
                 aldirl = jnp.where(lmm, lwdr, alb)
                 aldifl = jnp.where(lmm, lwdf, alb)
-                emis2d_b = jnp.where(
-                    lmm, self.bats_ss["lndemiss"]
-                    - self.bats_ss["seasemi"] * fseas_fn(s.bats[0]),
-                    0.985)
+                emis2d_b = jnp.where(lmm, emis_land, 0.985)
                 albvs = jnp.where(lmm, self.bats_ss["albvgs"], alb)
                 albvl = jnp.where(lmm, self.bats_ss["albvgl"], alb)
             else:
@@ -583,22 +630,55 @@ class PhysicsSuite:
             hfx, qfx, uvdrag, tg = sf.hfx, sf.qfx, sf.uvdrag, sf.tg
             if self.land_scheme == "bats1e":
                 # full BATS1e over land points (vecbats,
-                # Main/batslib/mod_bats_common.F90:318)
+                # Main/batslib/mod_bats_common.F90:318).  nnsg>1 runs
+                # the scheme batched over (nnsg, iy, jx) subcells with
+                # per-subcell landuse/texture and averages the fluxes
+                # back to the coarse cell (rdnnsg,
+                # mod_lm_interface.F90:542-545).
                 from .surface.bats import vecbats
                 rhox2d_b = atms["ps2d"] / (c.rgas * tb3[kz - 1])
                 qs_spec = qvb3[kz - 1] / (1.0 + qvb3[kz - 1])
                 prcp_tot = precip + cu["prate"] * m_ci
-                bo = vecbats(
-                    tb3[kz - 1], qs_spec, atms["ubx3"][kz - 1],
-                    atms["vbx3"][kz - 1], za[kz - 1], rhox2d_b,
-                    atms["ps2d"], prcp_tot, swabs, -lwnet, swabs,
-                    atms["coszrs"], s.tg, s.bats, self.bats_ss,
-                    core.grid_lndocn, self.cfg.time.dtsrf)
-                lm_b = core.grid_lndocn > 0.5
-                hfx = jnp.where(lm_b, bo.sent, hfx)
-                qfx = jnp.where(lm_b, jnp.maximum(bo.evpr, 0.0), qfx)
-                uvdrag = jnp.where(lm_b, bo.drag, uvdrag)
-                tg = jnp.where(lm_b, bo.tgrd, tg)
+                if self.nnsg > 1:
+                    bc = lambda a: jnp.broadcast_to(
+                        a[None], (self.nnsg,) + a.shape)
+                    bo = vecbats(
+                        bc(tb3[kz - 1]), bc(qs_spec),
+                        bc(atms["ubx3"][kz - 1]),
+                        bc(atms["vbx3"][kz - 1]), bc(za[kz - 1]),
+                        bc(rhox2d_b), bc(atms["ps2d"]), bc(prcp_tot),
+                        bc(swabs), bc(-lwnet), bc(swabs),
+                        bc(atms["coszrs"]),
+                        # subgrid skin T carried as the subsoil tgbrd
+                        # (documented deviation: per-subcell tgrd is
+                        # folded into the pack)
+                        s.bats[0], s.bats, self.bats_ss_sub,
+                        self.lnd_sub, self.cfg.time.dtsrf)
+                    nl = jnp.maximum(jnp.sum(self.lnd_sub, 0), 1.0)
+                    mean_l = lambda a: jnp.sum(a * self.lnd_sub, 0) \
+                        / nl
+                    lfrac = jnp.mean(self.lnd_sub, axis=0)
+                    anyl = lfrac > 0.0
+                    blend = lambda ln, oc: jnp.where(
+                        anyl, lfrac * ln + (1.0 - lfrac) * oc, oc)
+                    hfx = blend(mean_l(bo.sent), hfx)
+                    qfx = blend(jnp.maximum(mean_l(bo.evpr), 0.0),
+                                qfx)
+                    uvdrag = blend(mean_l(bo.drag), uvdrag)
+                    tg = blend(mean_l(bo.tgrd), tg)
+                else:
+                    bo = vecbats(
+                        tb3[kz - 1], qs_spec, atms["ubx3"][kz - 1],
+                        atms["vbx3"][kz - 1], za[kz - 1], rhox2d_b,
+                        atms["ps2d"], prcp_tot, swabs, -lwnet, swabs,
+                        atms["coszrs"], s.tg, s.bats, self.bats_ss,
+                        core.grid_lndocn, self.cfg.time.dtsrf)
+                    lm_b = core.grid_lndocn > 0.5
+                    hfx = jnp.where(lm_b, bo.sent, hfx)
+                    qfx = jnp.where(lm_b, jnp.maximum(bo.evpr, 0.0),
+                                    qfx)
+                    uvdrag = jnp.where(lm_b, bo.drag, uvdrag)
+                    tg = jnp.where(lm_b, bo.tgrd, tg)
                 sfupd["bats"] = bo.bats
             if slab:
                 # update_slabocean (mod_regcm_interface path,

@@ -197,17 +197,21 @@ def fseas_fn(temp):
         0.0, 1.0 - 0.0016 * jnp.maximum(298.0 - temp, 0.0) ** 2)
 
 
-def bats_init_state(ss, landmask, tg, iy, jx):
+def bats_init_state(ss, landmask, tg, iy=None, jx=None):
     """Cold-start packed BATS state (mod_bats_common initbats path):
-    soil water at slmo × capacity; leaf/subsoil T = ground T."""
-    z = np.zeros((iy, jx))
+    soil water at slmo × capacity; leaf/subsoil T = ground T.
+    Shape-generic: works on the coarse (iy, jx) grid or the subgrid
+    (nnsg, iy, jx) batch."""
+    tg = np.broadcast_to(np.asarray(tg), ss["slmo"].shape)
+    z = np.zeros_like(ss["slmo"], dtype=float)
     st = dict(
-        tgbrd=np.asarray(tg), tlef=np.asarray(tg), taf=np.asarray(tg),
-        ldew=z, sncv=np.where(np.asarray(tg) < 263.0, 10.0, 0.0),
+        tgbrd=tg, tlef=tg, taf=tg,
+        ldew=z, sncv=np.where(tg < 263.0, 10.0, 0.0),
         snag=z, ssw=ss["slmo"] * ss["gwmx0"],
         rsw=ss["slmo"] * ss["gwmx1"], tsw=ss["slmo"] * ss["gwmx2"],
-        gwet=ss["slmo"])
-    return np.stack([st[k] for k in BATS_FIELDS])
+        gwet=ss["slmo"] + z)
+    return np.stack([np.broadcast_to(st[k], ss["slmo"].shape)
+                     for k in BATS_FIELDS])
 
 
 def _depth(sncv, snag, lncl, rough):

@@ -302,3 +302,132 @@ def test_crm_idealized_icbc(cfg, tmp_path):
     m.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
     m.run_icbc(4)
     assert m.check_finite()
+
+
+def _write_ein_fixture(root, year=1990):
+    """Synthetic ERA-Interim-layout yearly archive (air/hgt/rhum/uwnd/
+    vwnd per synoptic hour) for the EIN15 reader test
+    (PreProc/ICBC/mod_ein.F90 file layout)."""
+    from regcm_tpu.io.ncio import NCWriter
+    from regcm_tpu.utils import constants as c
+    d = os.path.join(root, "EIN15", f"{year:04d}")
+    os.makedirs(d, exist_ok=True)
+    lats = np.arange(75.0, 4.9, -1.5)
+    lons = np.arange(-25.0, 65.1, 1.5)
+    lev = np.array([100., 200., 300., 400., 500., 600., 700., 775.,
+                    850., 925., 1000.])
+    ref1900 = Date(1900, 1, 1)
+    p3 = lev[:, None, None] * 100.0
+    tfld = np.maximum(288.0 * (p3 / 101325.0) ** 0.19, 210.0) \
+        * np.ones((len(lev), len(lats), len(lons)))
+    zfld = (c.rgas * 255.0 / c.egrav
+            * np.log(101325.0 / p3)) * np.ones_like(tfld)   # heights m
+    rhfld = 60.0 * np.ones_like(tfld)                       # percent
+    ufld = 15.0 * np.exp(-((lats[None, :, None] - 40.0) / 10.0) ** 2) \
+        * (1.0 - lev[:, None, None] / 1100.0) * np.ones_like(tfld)
+    vfld = np.zeros_like(tfld)
+    for hh in (0, 6, 12, 18):
+        t0 = (Date(year, 6, 1, hh) - ref1900) / 3600.0
+        times = t0 + 24.0 * np.arange(3)
+        for var, fld in (("air", tfld), ("hgt", zfld),
+                         ("rhum", rhfld), ("uwnd", ufld),
+                         ("vwnd", vfld)):
+            w = NCWriter(os.path.join(d, f"{var}.{year}.{hh:02d}.nc"),
+                         dims={"level": len(lev), "lat": len(lats),
+                               "lon": len(lons)})
+            w.def_static("lat", ("lat",), lats)
+            w.def_static("lon", ("lon",), lons)
+            w.def_static("level", ("level",), lev)
+            w.def_time_var(var, ("level", "lat", "lon"))
+            for n in range(len(times)):
+                w.write_record(times[n], {var: fld})
+            w.close()
+
+
+def test_ein_icbc_pipeline(cfg, tmp_path):
+    """ERA-Interim archive → icbc → ICBC-driven run (mod_ein.F90
+    equivalent on a synthetic fixture in the exact EIN15 layout,
+    incl. the rh→mixing-ratio conversion)."""
+    import copy
+    import jax.numpy as jnp
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+    from regcm_tpu.preproc.ein import (EINSource, ein_fields,
+                                       generate_ein_icbc)
+    from regcm_tpu.preproc.terrain import synthetic_topo
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 18, 14
+    cfg.geo.ds = 60.0
+    cfg.geo.clat, cfg.geo.clon = 40.0, 15.0
+    cfg.time.dt = 150.0
+    cfg.restart.mdate0 = cfg.restart.mdate1 = 1990060100
+    cfg.globdat.gdate1, cfg.globdat.gdate2 = 1990060100, 1990060200
+    _write_ein_fixture(str(tmp_path))
+    grid = build_grid(cfg)
+    src = EINSource(str(tmp_path))
+    topo, _, _ = synthetic_topo(cfg)
+    topo_gp = np.pad(topo, ((0, 1), (0, 1)), mode="edge") * 9.80665
+    f = ein_fields(cfg, grid, topo_gp, src, Date(1990, 6, 1))
+    assert np.isfinite(f["t"]).all() and np.isfinite(f["ps"]).all()
+    assert 200.0 < f["t"].min() and f["t"].max() < 320.0
+    assert f["u"].max() > 5.0
+    assert 1e-4 < f["qv"].max() < 0.03     # rh→mr conversion sane
+    path = str(tmp_path / "ein_icbc.nc")
+    generate_ein_icbc(cfg, grid, topo_gp, str(tmp_path), path)
+    from regcm_tpu.preproc.icbc import ICBCReader
+    m = Model(cfg, grid=grid, dtype=jnp.float64, physics=False)
+    m.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
+    m.run_icbc(3)
+    assert m.check_finite()
+
+
+def test_self_nesting_pipeline(cfg, tmp_path):
+    """Self-nesting (mod_nest.F90:823): a coarse regcm_tpu run's ATM
+    output drives a fine nested domain end-to-end."""
+    import copy
+    import jax.numpy as jnp
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+    from regcm_tpu.preproc.nest import (NestSource, nest_fields,
+                                        generate_nest_icbc)
+    # --- coarse parent run with output ------------------------------
+    ccfg = copy.deepcopy(cfg)
+    ccfg.dim.iy, ccfg.dim.jx, ccfg.dim.kz = 16, 20, 14
+    ccfg.geo.ds = 90.0
+    ccfg.geo.clat, ccfg.geo.clon = 42.0, 12.0
+    ccfg.time.dt = 240.0
+    ccfg.out.atmfrq = 0.2                  # a record every 3 steps
+    mc = Model(ccfg, dtype=jnp.float64)
+    mc.open_output(str(tmp_path / "coarse"))
+    mc.run_with_output(6)
+    mc.streams.close()
+    import glob
+    atm = glob.glob(str(tmp_path / "coarse" / "*ATM*"))[0]
+
+    # --- fine nested domain -----------------------------------------
+    fcfg = copy.deepcopy(cfg)
+    fcfg.dim.iy, fcfg.dim.jx, fcfg.dim.kz = 14, 16, 14
+    fcfg.geo.ds = 30.0
+    fcfg.geo.clat, fcfg.geo.clon = 42.0, 12.0
+    fcfg.time.dt = 120.0
+    fcfg.globdat.ibdyfrq = 1
+    fcfg.globdat.gdate1 = fcfg.restart.mdate1 = ccfg.restart.mdate1
+    fcfg.globdat.gdate2 = ccfg.restart.mdate1 + 2   # +2 hours
+    from regcm_tpu.preproc.terrain import synthetic_topo
+    ftopo, _, _ = synthetic_topo(fcfg)
+    ftopo = np.pad(ftopo, ((0, 1), (0, 1)), mode="edge")
+    fgrid = build_grid(fcfg)
+    src = NestSource(atm)
+    from regcm_tpu.utils.calendar import Date as _D
+    f = nest_fields(fcfg, fgrid, ftopo, src,
+                    _D.from_int(fcfg.globdat.gdate1))
+    assert np.isfinite(f["t"]).all() and np.isfinite(f["ps"]).all()
+    assert 200.0 < f["t"].min() and f["t"].max() < 320.0
+    assert 55000.0 < f["ps"].min() and f["ps"].max() < 107000.0
+    path = str(tmp_path / "nest_icbc.nc")
+    generate_nest_icbc(fcfg, fgrid, ftopo, atm, path)
+    from regcm_tpu.preproc.icbc import ICBCReader
+    mf = Model(fcfg, grid=fgrid, dtype=jnp.float64, physics=False)
+    mf.init_from_icbc(ICBCReader(path, fcfg.globdat.calendar))
+    mf.run_icbc(3)
+    assert mf.check_finite()
