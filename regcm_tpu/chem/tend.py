@@ -91,6 +91,9 @@ class ChemTend:
         emission/drydep/wetdep fluxes in kg/m²/s)."""
         kz = core.kz
         psb = atms["psb"]
+        # tendency coupling factor: p* for the sigma-p cores, 1 for
+        # MOLOCH (uncoupled chemt; tractend2's idynamic==3 branches)
+        cpl = atms.get("cpl", psb)
         tb3 = atms["tb3"]
         rho = atms["rhob3"]
         dzq = atms["dzq"]
@@ -140,7 +143,7 @@ class ChemTend:
             # kg/m²/s → coupled kg/kg/s·p* into the lowest layer
             chiten = chiten.at[:, kz - 1].add(
                 rsfrow / (dzq[kz - 1] * rho[kz - 1])[None]
-                * psb[None])
+                * cpl[None])
             diag["emflx"] = rsfrow
 
         # -- settling + dry deposition (drydep_aero) -------------------
@@ -148,7 +151,7 @@ class ChemTend:
             dd = drydep_aero(self.bin_diam, self.rhop, tb3, rho,
                              atms["pb3"], self.ivegcov, ustar, xra)
             st_ten, ddflx = settling_tend(
-                chib, psb, dd.pdepv, dd.ddepv, dzq, rho,
+                chib, cpl, dd.pdepv, dd.ddepv, dzq, rho,
                 core.twt1, core.twt2, dt)
             chiten = chiten + st_ten
             diag["ddflx"] = ddflx
@@ -168,7 +171,7 @@ class ChemTend:
                     jnp.flip(has, 0).astype(jnp.int32), axis=0), -1)
             wl = atms["qcb3"] * rho * 1000.0          # g/m³
             wt_ten, wflx = wetdep_tend(
-                chib, psb, tb3, wl, cldfra_ls, cum_cldfra, remrat,
+                chib, cpl, tb3, wl, cldfra_ls, cum_cldfra, remrat,
                 kcumtop, kcumbot, rembc, conv_prate, pdepv,
                 self.bin_diam, self.rhop, self.sol, dzq, rho, dt,
                 ichremlsc=self.ichremlsc, ichremcvc=self.ichremcvc)

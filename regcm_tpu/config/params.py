@@ -155,7 +155,8 @@ class PhysicsParam:
     igcc: int = 2            # Grell closure
     ipptls: int = 1          # microphysics: 1 SUBEX, 2 nogtom, 3 WSM5
     iocnflx: int = 2         # ocean flux: 1 BATS, 2 Zeng, 3 COARE
-    ipgf: int = 0            # PGF scheme
+    ipgf: int = 0            # PGF scheme (1 = perturbation form)
+    idiffu: int = 1          # diffusion scheme (1 split-order, 2 O4-9pt)
     iemiss: int = 0
     lakemod: int = 0
     ichem: int = 0

@@ -79,6 +79,22 @@ class HydroCore:
         self.ptop = float(g.ptop)
         self.dx = float(g.ds)
         self.dtsec = cfg.dtsec
+        self.ipgf = int(cfg.physics.ipgf)
+        # upstream-weighted scalar advection (the reference FORCES
+        # upstream_mode=.true. for idynamic<3, mod_params.F90:646;
+        # regcm_tpu keeps centered as its validated default and makes
+        # the upstream weighting selectable — documented deviation)
+        self.upstream_mode = bool(cfg.physics.extras.get(
+            "upstream_mode", False))
+        uoffc = float(cfg.physics.extras.get("uoffc", 0.25))
+        self.ul_adv = uoffc * 0.5 * cfg.dtsec / self.dx
+        self.idiffu = int(getattr(cfg.physics, "idiffu", 1))
+        if self.idiffu not in (1, 2):
+            raise ValueError(
+                "physicsparam idiffu=%d is not implemented in "
+                "regcm_tpu (1 = split-order deformation scheme, 2 = "
+                "9-point 4th-order; the idiffu=3 6th-order "
+                "slope-limited scheme is planned)" % self.idiffu)
 
         # 2-D constants
         self.msfx = f(g.msfx)
@@ -257,13 +273,30 @@ class HydroCore:
         vten = vten + (vfp[:-1] - vfp[1:]) / self.dsig3
         return uten * self.m_di, vten * self.m_di
 
-    def _hadv_scalar(self, fdec, uavg1, uavg2, vavg1, vavg2):
+    def _hadv_scalar(self, fdec, uavg1, uavg2, vavg1, vavg2, ps=None):
         """Flux-form horizontal advection of a decoupled cross scalar
-        (hadvt/hadv3d ind=0, Main/mod_advection.F90:311-424)."""
-        fx1 = shift(fdec, 0, -1) + fdec
-        fx2 = fdec + shift(fdec, 0, 1)
-        fy1 = shift(fdec, -1, 0) + fdec
-        fy2 = fdec + shift(fdec, 1, 0)
+        (hadvt/hadv3d ind=0, Main/mod_advection.F90:311-480).
+
+        upstream_mode (the reference's default for the sigma-p cores,
+        Main/mod_params.F90:646): Courant-weighted upwind-biased
+        interface values fx = (1±f1)·f with f1 = ½·ul·(uavg1+uavg2)/ps,
+        ul = uoffc·½·dt/dx (:106). Needs `ps` (cross p*)."""
+        fm = shift(fdec, 0, -1)
+        fp = shift(fdec, 0, 1)
+        gm = shift(fdec, -1, 0)
+        gp = shift(fdec, 1, 0)
+        if self.upstream_mode and ps is not None:
+            f1 = 0.5 * self.ul_adv * (uavg2 + uavg1) / ps[None]
+            f2 = 0.5 * self.ul_adv * (vavg2 + vavg1) / ps[None]
+            fx1 = (1.0 + f1) * fm + (1.0 - f1) * fdec
+            fx2 = (1.0 + f1) * fdec + (1.0 - f1) * fp
+            fy1 = (1.0 + f2) * gm + (1.0 - f2) * fdec
+            fy2 = (1.0 + f2) * fdec + (1.0 - f2) * gp
+        else:
+            fx1 = fm + fdec
+            fx2 = fdec + fp
+            fy1 = gm + fdec
+            fy2 = fdec + gp
         return -self.xmapf * (uavg2 * fx2 - uavg1 * fx1
                               + vavg2 * fy2 - vavg1 * fy1) * self.m_ci
 
@@ -478,7 +511,8 @@ class HydroCore:
             pr_a = (self.hsig3 * psa[None] + ptop) * 1000.0
             th = tdec * (c.stdp / pr_a) ** c.rovcp
             tha = th * psa[None]
-            thten = self._hadv_scalar(th, uavg1, uavg2, vavg1, vavg2)
+            thten = self._hadv_scalar(th, uavg1, uavg2, vavg1, vavg2,
+                                      ps=psa)
             # vadv3d ind=0 nk=kz on tha: interface flux at k=1..kz-1
             fth = qdot[1:kz] * (self.twt1[1:] * tha[1:]
                                 + self.twt2[1:] * tha[:-1])
@@ -487,7 +521,8 @@ class HydroCore:
             # plain T flux advection (ithadv=0): hadv(atmx%t) +
             # vadv3d ind=1 with exner-weighted interface interpolation
             # (mod_advection.F90:730-790)
-            tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2)
+            tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2,
+                                      ps=psa)
             pfs = (self.sig3 * psa[None] + ptop) * 1000.0   # (kz+1)
             phs = (self.hsig3 * psa[None] + ptop) * 1000.0
             ta = s.t_a
@@ -512,7 +547,7 @@ class HydroCore:
                             qmsl=(self.iqmsl == 1)) * self.m_ci
         else:
             qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1,
-                                       vavg2)
+                                       vavg2, ps=psa)
         qva = s.qx_a[IQV]
         ok = ((qva[1:] > c.minqq * psa[None])
               & (qva[:-1] > c.minqq * psa[None]))
@@ -530,7 +565,7 @@ class HydroCore:
                            qmsl=(self.iqmsl == 1)) * self.m_ci
         else:
             qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1,
-                                      vavg2)
+                                      vavg2, ps=psa)
         qha = s.qx_a[1:]
         fi = (self.twt1[1:] * qha[:, 1:]
               + self.twt2[1:] * qha[:, :-1])
@@ -547,7 +582,7 @@ class HydroCore:
         if self.ntr:
             chidec = jnp.maximum(s.chi_a * rpsa[None], 0.0)
             chiten_d = self._hadv_scalar(chidec, uavg1, uavg2, vavg1,
-                                         vavg2)
+                                         vavg2, ps=psa)
             chia = s.chi_a
             fi_x = (self.twt1[1:] * chia[:, 1:]
                     + self.twt2[1:] * chia[:, :-1])
@@ -658,10 +693,22 @@ class HydroCore:
         if self.ntr:
             chic = self._negfix(s.chi_b + dt * chiten_t * self.m_ci)
 
-        # -- PGF (mod_tendency.F90:1886-2120, ipgf=0) --------------------
+        # -- PGF (mod_tendency.F90:1886-2120; ipgf 0 = full-field,
+        #    ipgf 1 = perturbation form: a reference profile
+        #    t00pg·((σp*+ptop)/p00pg)^pgfaa1 is removed from the
+        #    virtual temperature in BOTH parts of the force, reducing
+        #    the steep-terrain PGF truncation error) ------------------
         td = s.t_a * (1.0 + c.ep1 * qvdec)       # coupled p*Tv (beta_hyd=1)
         tvfac = 1.0 / (1.0 + qcdec / (1.0 + qvdec))
         ptrps = ptop * rpsa[None]
+        if self.ipgf == 1:
+            T00PG, P00PG = 287.0, 101.325
+            PGFAA1 = 6.5e-3 * c.rgas * c.regrav
+            tref3 = T00PG * ((self.hsig3 * psa[None] + ptop)
+                             / P00PG) ** PGFAA1
+            td_pg = td - psa[None] * tref3        # ttld (:1901)
+        else:
+            td_pg = td
         # geopotential integration bottom-up
         logfac = jnp.log((self.hsig3 + ptrps)
                          / jnp.concatenate(
@@ -670,11 +717,16 @@ class HydroCore:
                                                          self.dtype)],
                              axis=0))
         # lowest layer term uses td[kz-1]·rpsa·tvfac; above: weighted avg
-        tvavg_up = ((td[:-1] * self.dsig3[:-1] + td[1:] * self.dsig3[1:])
+        tvavg_up = ((td_pg[:-1] * self.dsig3[:-1]
+                     + td_pg[1:] * self.dsig3[1:])
                     / (psa[None] * (self.dsig3[:-1] + self.dsig3[1:]))
                     * tvfac[:-1])
-        phi_kz = self.ht - c.rgas * (td[kz - 1] * rpsa * tvfac[kz - 1]) \
-            * logfac[kz - 1]
+        phi_kz = self.ht - c.rgas * (td_pg[kz - 1] * rpsa
+                                     * tvfac[kz - 1]) * logfac[kz - 1]
+        if self.ipgf == 1:
+            # reference-profile geopotential (:2046-2047)
+            phi_kz = phi_kz + c.rgas * T00PG / PGFAA1 \
+                * ((psa + ptop) / P00PG) ** PGFAA1
         incs = -c.rgas * tvavg_up * logfac[:-1]          # (kz-1, iy, jx)
         # phi[k] = phi[k+1] + incs[k] (k from kz-2 down)
         phi = jnp.concatenate(
@@ -685,8 +737,12 @@ class HydroCore:
         hpsx2m = 0.5 * (shift(psa, 0, -1) + shift(psa, -1, -1))
         hpsy2 = 0.5 * (psa + shift(psa, 0, -1))
         hpsy2m = 0.5 * (shift(psa, -1, 0) + shift(psa, -1, -1))
-        rtbar = c.rgas * psdota[None] * 0.25 * (
-            shift(tv, -1, -1) + shift(tv, 0, -1) + shift(tv, -1, 0) + tv)
+        tvdot4 = 0.25 * (shift(tv, -1, -1) + shift(tv, 0, -1)
+                         + shift(tv, -1, 0) + tv)
+        if self.ipgf == 1:
+            tvdot4 = tvdot4 - T00PG * (
+                (self.hsig3 * psdota[None] + ptop) / P00PG) ** PGFAA1
+        rtbar = c.rgas * psdota[None] * tvdot4
         dmsf = 1.0 / (self.dx * self.msfd)
         udyn = udyn - rtbar * (
             jnp.log(hpsx2[None] * self.hsig3 + ptop)
@@ -973,7 +1029,8 @@ class HydroCore:
         vavg2 = shift(vmc, 1, 1) + shift(vmc, 1, 0)
         udyn, vdyn = self._advection_uv(umc, vmc, ud, vd, uc, vc, qdot)
         # T advection (ithadv=0 NH: exner-weighted interfaces on p0)
-        tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2)
+        tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2,
+                                  ps=psa)
         ta = s.t_a
         rdphf = base.pr0 ** (-c.c287)
         rdplf = base.pf0[1:kz] ** c.c287
@@ -983,7 +1040,8 @@ class HydroCore:
         tdyn0 = tdyn0 + self._vadv_flux(fT, qdot)
         # qv / qc (same forms as hydrostatic; Kuo defers qv vadv, see
         # step())
-        qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2)
+        qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2,
+                                   ps=psa)
         qva = s.qx_a[IQV]
         ok = ((qva[1:] > c.minqq * psa[None])
               & (qva[:-1] > c.minqq * psa[None]))
@@ -994,7 +1052,8 @@ class HydroCore:
         kuo_defer = (self.physics is not None
                      and getattr(self.physics, "kuo_defer", False))
         qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
-        qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1, vavg2)
+        qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1, vavg2,
+                                  ps=psa)
         qha = s.qx_a[1:]
         fi = (self.twt1[1:] * qha[:, 1:]
               + self.twt2[1:] * qha[:, :-1])
@@ -1311,10 +1370,16 @@ class HydroCore:
         return (fmap * diff - gmap * lap) * m
 
     def _diffu_cross(self, fdec, xkc):
-        """diffu_x3d idiffu=1 (Main/mod_diffusion.F90:658-790): 4th-order
-        interior, 2nd-order on the first interior ring."""
+        """diffu_x3d (Main/mod_diffusion.F90:539-660): idiffu=1
+        4th-order interior / 2nd-order on the first interior ring;
+        idiffu=2 single 9-point 4th-order operator (:592-601)."""
         s1 = (shift(fdec, 0, 1) + shift(fdec, 0, -1)
               + shift(fdec, 1, 0) + shift(fdec, -1, 0))
+        if self.idiffu == 2:
+            sd = (shift(fdec, 1, 1) + shift(fdec, -1, -1)
+                  + shift(fdec, -1, 1) + shift(fdec, 1, -1))
+            return xkc * ((4.0 / 6.0) * s1 + (1.0 / 6.0) * sd
+                          - (20.0 / 6.0) * fdec) * self.m_ci
         s2 = (shift(fdec, 0, 2) + shift(fdec, 0, -2)
               + shift(fdec, 2, 0) + shift(fdec, -2, 0))
         four = -xkc * (s2 - 4.0 * s1 + 12.0 * fdec)
@@ -1323,11 +1388,17 @@ class HydroCore:
         return four * self.m_ci2 + two * ring
 
     def _diffu_dot(self, fdec, xkd):
-        """diffu_d idiffu=1 (Main/mod_diffusion.F90:280-410) applied to a
-        decoupled dot field f/msfd."""
+        """diffu_d (Main/mod_diffusion.F90:280-440) applied to a
+        decoupled dot field f/msfd; idiffu=2 uses the 9-point
+        4th-order operator (:386-411)."""
         fm = fdec / self.msfd
         s1 = (shift(fm, 0, 1) + shift(fm, 0, -1)
               + shift(fm, 1, 0) + shift(fm, -1, 0))
+        if self.idiffu == 2:
+            sd = (shift(fm, 1, 1) + shift(fm, -1, -1)
+                  + shift(fm, -1, 1) + shift(fm, 1, -1))
+            return xkd * ((4.0 / 6.0) * s1 + (1.0 / 6.0) * sd
+                          - (20.0 / 6.0) * fm) * self.m_di
         s2 = (shift(fm, 0, 2) + shift(fm, 0, -2)
               + shift(fm, 2, 0) + shift(fm, -2, 0))
         four = -xkd * (s2 - 4.0 * s1 + 12.0 * fm)

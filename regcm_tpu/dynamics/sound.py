@@ -112,6 +112,35 @@ def sound(core, base: NHBaseState, s, uten, vten, ppten, wten,
     kz = core.kz
     bet = core.cfg.nonhydro.nhbet
     xkd = core.cfg.nonhydro.nhxkd
+    ifupr = int(core.cfg.nonhydro.ifupr)
+    if ifupr == 1:
+        # Klemp-Durran upper radiative BC geometry (init_sound,
+        # Main/mod_sound.F90:103-140): trace-time constant tables;
+        # the state-dependent tmask response is built per substep
+        # (the reference refreshes it daily — computing it every call
+        # is cheap here and strictly fresher).
+        fi = np.ones(13)
+        fi[0] = fi[12] = 0.5
+        fk = np.full(7, 2.0)
+        fk[0] = fk[6] = 1.0
+        ii = np.arange(-6, 7)
+        kkv = np.arange(7)
+        geom = (fi[:, None, None, None] * fi[None, :, None, None]
+                * fk[None, None, :, None] * fk[None, None, None, :]
+                / 144.0
+                * np.cos(2.0 * np.pi * kkv[None, None, :, None]
+                         * ii[:, None, None, None] / 12.0)
+                * np.cos(2.0 * np.pi * kkv[None, None, None, :]
+                         * ii[None, :, None, None] / 12.0))
+        xmsf = float(np.mean(np.asarray(core.grid.msfx)[1:-1, 1:-1]))
+        dxmsfb = 2.0 / (core.dx * core.dx) / xmsf
+        xkeff = dxmsfb * np.sin(np.pi * kkv[:, None] / 12.0) \
+            * np.cos(np.pi * kkv[None, :] / 12.0)
+        xleff = dxmsfb * np.sin(np.pi * kkv[None, :] / 12.0) \
+            * np.cos(np.pi * kkv[:, None] / 12.0)
+        xkleff = jnp.asarray(np.sqrt(xkeff ** 2 + xleff ** 2),
+                             s.ps_b.dtype)
+        uprgeom = jnp.asarray(geom, s.ps_b.dtype)
     bp = 0.5 * (1.0 + bet)
     bm = 0.5 * (1.0 - bet)
     bpxbp = bp * bp
@@ -261,14 +290,34 @@ def sound(core, base: NHBaseState, s, uten, vten, ppten, wten,
         e = jnp.concatenate([jnp.flip(e_r, 0), e_kz[None]], axis=0)
         fe = jnp.concatenate([jnp.flip(f_r, 0), f_kz[None]], axis=0)
 
-        # downward sweep: w[0]=0 (rigid lid, ifupr=0), w[k+1]=e[k]w[k]+f[k]
+        # top boundary: w[0]=0 rigid lid (ifupr=0) or the Klemp-Durran
+        # radiative condition (ifupr=1, mod_sound.F90:486-562): a
+        # 13×13 spectral-response convolution of the top-level
+        # estore field with global-mean response coefficients
+        if ifupr == 1:
+            denom1 = (cdd[0] + cj[0]) * bp
+            estore = (pp[0] + fe[0] * denom1) * m_ci
+            astore = denom1 * e[0] + (cj[0] - cdd[0]) * bp
+            npts = jnp.maximum(jnp.sum(m_ci), 1.0)
+            abar = jnp.sum(astore * m_ci) / npts
+            ensq = c.egrav * c.egrav / c.cpd \
+                / jnp.maximum(tdec_b[0], 100.0)
+            rhon = jnp.sum(rho1[0] * jnp.sqrt(ensq) * m_ci) / npts
+            resp = xkleff / (rhon - abar * xkleff)
+            tmask = jnp.einsum("ijkl,kl->ij", uprgeom, resp)
+            ep = jnp.pad(estore, 6, mode="edge")
+            w_top = jax.lax.conv_general_dilated(
+                ep[None, None], tmask[None, None],
+                window_strides=(1, 1), padding="VALID")[0, 0] * m_ci
+        else:
+            w_top = jnp.zeros_like(w_sfc)
+
         def dn_body(w_k, k):
             w_kp1 = e[k] * w_k + fe[k]
             return w_kp1, w_kp1
 
-        _, w_dn = jax.lax.scan(dn_body, jnp.zeros_like(w_sfc),
-                               jnp.arange(kz))
-        w = jnp.concatenate([jnp.zeros_like(w[:1]), w_dn], axis=0)
+        _, w_dn = jax.lax.scan(dn_body, w_top, jnp.arange(kz))
+        w = jnp.concatenate([w_top[None], w_dn], axis=0)
 
         # new pressure (:640-668) + dp'/dt temperature correction
         ppold = pi_old

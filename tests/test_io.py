@@ -229,3 +229,28 @@ def test_cordex_extraction_and_grads(cfg, tmp_path):
     txt = open(ctl).read()
     assert "DTYPE netcdf" in txt and "ENDVARS" in txt
     assert "tpr=>tpr" in txt
+
+
+def test_coupling_contract(cfg, tmp_path):
+    """RCM_Get/RCM_Put export/import contract (mod_update.F90:35-54):
+    exports assemble from a live model; imported SST overrides the
+    forcing SST over valid water points only."""
+    from regcm_tpu.coupling import (rcm_put, rcm_get, ImportFields,
+                                    MISSING)
+    m = _model(cfg, tmp_path)
+    m.step()
+    exp = rcm_put(m)
+    for name in ("psfc", "tsfc", "taux", "wspd", "rhoa", "nflx"):
+        a = getattr(exp, name)
+        assert np.isfinite(a).all(), name
+    assert 60000.0 < exp.psfc.mean() < 106000.0
+    assert 180.0 < exp.tsfc.mean() < 320.0
+    # import: SST +2K over water, MISSING elsewhere
+    sst0 = np.asarray(m.core.sst).copy()
+    imp = np.where(np.asarray(m.grid.lndocn) < 0.5, sst0 + 2.0,
+                   MISSING)
+    rcm_get(m, ImportFields(sst=imp))
+    sst1 = np.asarray(m.core.sst)
+    water = np.asarray(m.grid.lndocn) < 0.5
+    np.testing.assert_allclose(sst1[water], sst0[water] + 2.0)
+    np.testing.assert_allclose(sst1[~water], sst0[~water])
