@@ -78,8 +78,9 @@ class HydroState(NamedTuple):
     cldefi: jax.Array    # Betts-Miller cloud efficiency memory (mod_cu_bm)
     # cumulus tendencies held between syncro_cum alarms (dtcum,
     # Main/mod_cu_interface.F90:288: the scheme runs every dtcum and
-    # its tendencies persist): packed (6, kz, iy, jx) =
-    # [tten, qvten, utenx, vtenx, cldfra, cldlwc] (uncoupled)
+    # its tendencies persist): packed (9, kz, iy, jx) =
+    # [tten, qvten, utenx, vtenx, cldfra, cldlwc, qcten, qiten,
+    #  qdetr] (uncoupled; the last three are Tiedtke detrainment)
     cuten: jax.Array
     cuprate: jax.Array   # held convective precip rate (kg/m²/s)
     # turbulence state: UW TCM prognostic TKE on kz+1 interfaces
@@ -168,7 +169,7 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
         # BM efinit: avgefi everywhere (mod_cu_bm.F90:229-236)
         cldefi=jnp.full((iy, jx), 0.6, dtype),
-        cuten=jnp.zeros((6, kz, iy, jx), dtype),
+        cuten=jnp.zeros((9, kz, iy, jx), dtype),
         cuprate=z2,
         tke_a=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
         tke_b=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),

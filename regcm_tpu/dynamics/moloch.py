@@ -92,7 +92,7 @@ class MolochState(NamedTuple):
     lwsfc: jax.Array     # net downward longwave at surface (W/m2)
     cbmf: jax.Array      # Emanuel cloud-base mass flux memory
     cldefi: jax.Array    # Betts-Miller cloud efficiency memory
-    cuten: jax.Array     # held cumulus tendencies (6, kz, iy, jx)
+    cuten: jax.Array     # held cumulus tendencies (9, kz, iy, jx)
     cuprate: jax.Array   # held convective precip rate
     # full surface/physics pack, same layouts as HydroState (MOLOCH
     # surface parity: BATS1e/lake/ice run the same schemes here —
@@ -114,6 +114,12 @@ class MolochState(NamedTuple):
     abstot: jax.Array
     absnxt: jax.Array
     emstot: jax.Array
+    # chemistry tracers (chemt of mod_moloch; uncoupled mixing ratios,
+    # (ntr, kz, iy, jx), advected by the WAF pass). Named chi_b so the
+    # shared PhysicsSuite/chem code reads the same attribute on both
+    # cores (MOLOCH has no leapfrog b level; this IS the state).
+    chi_b: jax.Array
+    chemdiag: jax.Array  # (3, ntr, iy, jx) emission/drydep/wetdep kg/m²
 
 
 class MolochBdy(NamedTuple):
@@ -132,14 +138,14 @@ class MolochBdy(NamedTuple):
 
 
 def zeros_moloch_phys(kz: int, iy: int, jx: int, dtype=jnp.float64,
-                      nlak: int = 1):
+                      nlak: int = 1, ntr: int = 0):
     """Zero-initialized physics/surface fields for MolochState."""
     z2 = jnp.zeros((iy, jx), dtype)
     z3 = jnp.zeros((kz, iy, jx), dtype)
     return dict(tg=z2, rainnc=z2, rainc=z2, heatrt=z3, qfx=z2, hfx=z2,
                 uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
                 cldefi=jnp.full((iy, jx), 0.6, dtype),
-                cuten=jnp.zeros((6, kz, iy, jx), dtype),
+                cuten=jnp.zeros((9, kz, iy, jx), dtype),
                 cuprate=z2,
                 bats=jnp.zeros((10, iy, jx), dtype),
                 seaice=jnp.zeros((4, iy, jx), dtype),
@@ -151,7 +157,9 @@ def zeros_moloch_phys(kz: int, iy: int, jx: int, dtype=jnp.float64,
                 pbl0=jnp.zeros((2, iy, jx), dtype),
                 abstot=jnp.zeros(((kz + 1) * (kz + 1), iy, jx), dtype),
                 absnxt=jnp.zeros((4 * kz, iy, jx), dtype),
-                emstot=jnp.zeros((kz + 1, iy, jx), dtype))
+                emstot=jnp.zeros((kz + 1, iy, jx), dtype),
+                chi_b=jnp.zeros((ntr, kz, iy, jx), dtype),
+                chemdiag=jnp.zeros((3, ntr, iy, jx), dtype))
 
 
 class MolochCore:
@@ -265,6 +273,16 @@ class MolochCore:
         # suite reads off `core`; MOLOCH prognostics are uncoupled so the
         # coupling factor it passes is 1)
         self.nqx = 5 if cfg.physics.ipptls in (2, 3) else 2
+        if cfg.physics.ichem:
+            from ..chem.species import build_species
+            self.ntr = build_species(cfg.chem.chemsimtype).ntr
+        else:
+            self.ntr = 0
+        # interface interpolation weights for the chem settling flux
+        # (twt of mod_vertint; shared contract with the chem module)
+        twt = np.asarray(g.twt)
+        self.twt1 = f(twt[:, 0])[:, None, None]
+        self.twt2 = f(twt[:, 1])[:, None, None]
         self.ptop = 0.0                      # Kuo p* convention (unused)
         self.grid_lndocn = f(g.lndocn)
         self.sst = jnp.full((iy, jx), 288.0, dtype)
@@ -363,7 +381,8 @@ class MolochCore:
                                     self.dtype)])
         nlak = int(self.cfg.physics.extras.get("lake_ndpmax", 100)) \
             if self.cfg.physics.lakemod == 1 else 1
-        phys = zeros_moloch_phys(kz, iy, jx, self.dtype, nlak=nlak)
+        phys = zeros_moloch_phys(kz, iy, jx, self.dtype, nlak=nlak,
+                                 ntr=self.ntr)
         phys["tg"] = f(t[kz - 1])
         return MolochState(u=z3, v=z3,
                            w=jnp.zeros((kz + 1, iy, jx), self.dtype),
@@ -791,22 +810,28 @@ class MolochCore:
         tvirt = t * (1.0 + c.ep1 * qv - qcond)
         tetav = tvirt / pai
 
+        chi = st.chi_b
         for _ in range(self.nadv):
             u, v, w, pai, s = self._sound(u, v, w, pai, tetav, qv, qsat,
                                           dtsound)
             # advection of all fields (advection, :1042-1095) — one
-            # vmapped WAF pass batched over {θv, π, ux, vx, wx, qx...}
-            # (a single fused kernel instead of nf sequential passes)
+            # vmapped WAF pass batched over {θv, π, ux, vx, wx, qx,
+            # chem tracers} (a single fused kernel instead of nf
+            # sequential passes)
             ux, vx = self.uvstag2x(u, v)
             wx = self.wstag2x(w)
-            fields = jnp.concatenate(
-                [tetav[None], pai[None], ux[None], vx[None], wx[None],
-                 qx], axis=0)
+            parts = [tetav[None], pai[None], ux[None], vx[None],
+                     wx[None], qx]
+            if self.ntr:
+                parts.append(chi)
+            fields = jnp.concatenate(parts, axis=0)
             adv = jax.vmap(
                 lambda fld: self._wafone(fld, u, v, s, dtstepa))(fields)
             tetav, pai, ux, vx, wx = (adv[0], adv[1], adv[2], adv[3],
                                       adv[4])
-            qx = adv[5:]
+            qx = adv[5:5 + self.nqx]
+            if self.ntr:
+                chi = jnp.maximum(adv[5 + self.nqx:], 0.0)
             u, v = self.x2uvstag(ux, vx)
             w = self.x2wstag(wx, w)
 
@@ -840,6 +865,10 @@ class MolochCore:
                 tphy = tphy + dtc
                 qvphy = qvphy + dqv
                 qhphy = qhphy.at[0].add(dqc)
+            chiphy = sfupd.pop("_chiten", None)
+            if self.ntr and chiphy is not None:
+                chi = jnp.maximum(chi + dtsec * chiphy
+                                  * self.m_ci[None, None], 0.0)
             # update status (:1546-1568): forward-Euler apply, floors
             t = t + dtsec * tphy * self.m_ci
             qv = jnp.maximum(qv + dtsec * qvphy * self.m_ci, c.minqq)
@@ -858,6 +887,10 @@ class MolochCore:
                 c.minqq)
             u = u + self._nudge(bdy.u0 + xtd * bdy.ut - u)
             v = v + self._nudge(bdy.v0 + xtd * bdy.vt - v)
+            if self.ntr:
+                # chem lateral boundary: relax toward clean inflow air
+                # (mod_che_bdyco nudge on chemt)
+                chi = jnp.maximum(chi + self._nudge(-chi), 0.0)
             qx = qx.at[0].set(qv)
             # upper Rayleigh damping toward BCs (moraydamp,
             # mod_moloch.F90:420-425; tau ramps over rayhd below the top)
@@ -881,6 +914,11 @@ class MolochCore:
         qv2 = qx[0] + self.nuqx * lap4(qx[0]) * self.m_ci
         qh2 = qx[1:] + 0.5 * self.nuqx * lap4(qx[1:]) * self.m_ci[None]
         qx = jnp.concatenate([qv2[None], qh2])
+        if self.ntr:
+            chi = jnp.maximum(
+                chi + 0.5 * self.nuqx * lap4(chi) * self.m_ci[None],
+                0.0)
+            sfupd = dict(sfupd, chi_b=chi)
 
         ns = st._replace(u=u, v=v, w=w, pai=pai, t=t, qx=qx,
                          heatrt=heatrt, **sfupd)

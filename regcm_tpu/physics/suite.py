@@ -28,7 +28,7 @@ from ..dynamics.stencil import cross2dot
 # (Main/mod_params.F90) — an unimplemented selector must be a hard error
 # at model build, never a silent no-op.
 SUPPORTED = dict(
-    icup={0, 1, 2, 3, 4},          # Kuo/Grell/BM/Emanuel (5/6 planned)
+    icup={0, 1, 2, 3, 4, 5},       # Kuo/Grell/BM/Emanuel/Tiedtke (6 planned)
     ibltyp={0, 1, 2, 3, 4},        # Holtslag / UW TCM / GFS / MYJ
     ipptls={0, 1, 2, 3},           # SUBEX / nogtom / WSM5
     iocnflx={1, 2, 3},             # BATS / Zeng / COARE
@@ -74,11 +74,10 @@ def validate_physics(cfg):
         # — gas phase CBMZ/CB6r2, SSLT/CARB/SULF stay refused loudly)
         from ..chem.species import build_species
         build_species(cfg.chem.chemsimtype)
-        if cfg.core.idynamic != 1:
+        if cfg.core.idynamic == 2:
             raise ValueError(
-                "ichem=1 is implemented for the hydrostatic core "
-                "(idynamic=1) only in regcm_tpu; tracer advection for "
-                "the NH/MOLOCH cores is not wired yet")
+                "ichem=1 tracer advection is not wired for the MM5-NH "
+                "core (idynamic=2) yet; use idynamic 1 or 3")
         if int(cfg.chem.ichdrdepo) == 2:
             raise ValueError(
                 "chemparam ichdrdepo=2 (deposition through the BL "
@@ -241,7 +240,8 @@ class PhysicsSuite:
         zero2 = jnp.zeros_like(atms["psb"])
         empty = dict(tten=zero3, qvten=zero3, utenx=zero3, vtenx=zero3,
                      prate=zero2, has_precip=False,
-                     cldfra=zero3, cldlwc=zero3, state={})
+                     cldfra=zero3, cldlwc=zero3, qcten=zero3,
+                     qiten=zero3, qdetr=zero3, state={})
         if self.kuo_defer and dyn is not None:
             # non-convecting columns still need the deferred qv vadv
             # term back (mod_cu_kuo.F90:270-282), every step
@@ -268,7 +268,9 @@ class PhysicsSuite:
                     prate=jnp.where(lm2, out_l["prate"], out_o["prate"]),
                     has_precip=(out_l["has_precip"]
                                 or out_o["has_precip"]),
-                    cldfra=b3("cldfra"), cldlwc=b3("cldlwc"), state=state)
+                    cldfra=b3("cldfra"), cldlwc=b3("cldlwc"),
+                    qcten=b3("qcten"), qiten=b3("qiten"),
+                    qdetr=b3("qdetr"), state=state)
 
     def _cumulus_one(self, icup, core, atms, s, dyn, dt):
         """One deep-convection scheme on the full dense grid."""
@@ -287,7 +289,8 @@ class PhysicsSuite:
         flipc = lambda a: jnp.flip(a, axis=0).reshape(kz, ncol).T
         unflip = lambda a: jnp.flip(a.T.reshape(kz, iy, jx), axis=0)
         res = dict(utenx=zero3, vtenx=zero3, has_precip=True,
-                   cldfra=zero3, cldlwc=zero3, state={})
+                   cldfra=zero3, cldlwc=zero3, qcten=zero3,
+                   qiten=zero3, qdetr=zero3, state={})
 
         if icup == 1:
             # Kuo (cupara, Main/cumlib/mod_cu_kuo.F90:75): moisture-
@@ -380,6 +383,65 @@ class PhysicsSuite:
                 cldlwc=jnp.where(cldfra > 0.0, 0.3e-3 * 1000.0 * rho,
                                  0.0),
                 state=dict(cbmf=out.cbmf.reshape(iy, jx) * core.m_ci))
+        elif icup == 5:
+            # "new Tiedtke" mass-flux scheme (ntiedtke,
+            # Main/cumlib/mod_cu_tiedtke.F90:4508, driver tiedtkedrv
+            # :207-434): specific-humidity basis in, mixing-ratio
+            # tendencies out (:380-391); detrained condensate rides
+            # qcten/qiten (+qdetr staged into nogtom, :392).
+            from .cumulus.tiedtke import ntiedtke
+            import numpy as _np
+            colc = lambda a: a.reshape(kz, ncol).T
+            uncol = lambda a: a.T.reshape(kz, iy, jx)
+            # provisional state updated with the dynamic tendencies
+            # (cucall :601-609: ztp1 = t + tte·dt etc) and ZERO
+            # surface fluxes — the reference calls BL after CU
+            # (:700-704), so the surface-flux shallow trigger is off
+            if dyn is not None:
+                tq = (dyn["qvdyn"] * rcpl)
+                tt = dyn["tdyn"] * rcpl
+            else:
+                tq = zero3
+                tt = zero3
+            tb3p = tb3 + tt * dt
+            qvb3p = jnp.maximum(qvb3 + tq * dt, c.minqq)
+            qspec = qvb3p / (1.0 + qvb3p)
+            qc_spec = atms["qcb3"] / (1.0 + qvb3p)
+            za_c = colc(atms["za"])
+            zf_mid = 0.5 * (za_c[:, :-1] + za_c[:, 1:])
+            zf = jnp.concatenate(
+                [2.0 * za_c[:, :1] - zf_mid[:, :1], zf_mid,
+                 jnp.zeros_like(za_c[:, :1])], axis=1)
+            qhfl = jnp.zeros((ncol, kz + 1), tb3.dtype)
+            ahfs = jnp.zeros((ncol, kz + 1), tb3.dtype)
+            tq_spec = tq / (1.0 + qvb3p) ** 2
+            out = ntiedtke(
+                colc(tb3p), colc(qspec), colc(atms["ubx3"]),
+                colc(atms["vbx3"]), colc(qc_spec), qhfl, ahfs,
+                colc(pb3), pf3.reshape(kz + 1, ncol).T,
+                za_c * c.egrav, zf * c.egrav, colc(tq_spec),
+                colc(tt),
+                core.grid_lndocn.reshape(ncol) > 0.5,
+                float(core.dtsec), float(self.cfg.ds_m),
+                _np.asarray(self.grid.hsigma) * c.stdp)
+            qspec_c = colc(qspec)
+            qcten = out.lten
+            qiten = jnp.zeros_like(out.iten)
+            if self.cfg.physics.ipptls == 2:
+                qiten = out.iten          # :398-409
+            else:
+                qcten = qcten + out.iten  # :415-421
+            cldfra = uncol(out.cldfra)
+            res.update(
+                tten=uncol(out.tten),
+                qvten=uncol(out.qten / (1.0 - qspec_c) ** 2),
+                utenx=uncol(out.uten), vtenx=uncol(out.vten),
+                prate=out.prate.reshape(iy, jx),
+                cldfra=cldfra,
+                cldlwc=jnp.where(cldfra > 0.0, 0.3e-3 * 1000.0 * rho,
+                                 0.0),
+                qcten=uncol(qcten), qiten=uncol(qiten),
+                qdetr=uncol(out.qdetr))
         else:
             raise ValueError(f"icup={icup} not implemented")
         return res
@@ -430,17 +492,22 @@ class PhysicsSuite:
             if not self.kuo_defer:
                 sfupd["cuten"] = jnp.stack(
                     [cu["tten"], cu["qvten"], cu["utenx"], cu["vtenx"],
-                     cu["cldfra"], cu["cldlwc"]])
+                     cu["cldfra"], cu["cldlwc"], cu["qcten"],
+                     cu["qiten"], cu["qdetr"]])
                 sfupd["cuprate"] = cu["prate"]
         else:
             cu = dict(tten=s.cuten[0], qvten=s.cuten[1],
                       utenx=s.cuten[2], vtenx=s.cuten[3],
                       cldfra=s.cuten[4], cldlwc=s.cuten[5],
+                      qcten=s.cuten[6], qiten=s.cuten[7],
+                      qdetr=s.cuten[8],
                       prate=s.cuprate, has_precip=True, state={})
         cldfra_cum = cu["cldfra"]
         cldlwc_cum = cu["cldlwc"]
         tphy = tphy + cu["tten"] * cpl[None] * m_ci
         qvphy = qvphy + cu["qvten"] * cpl[None] * m_ci
+        qcphy = qcphy + cu["qcten"] * cpl[None] * m_ci
+        qiphy = qiphy + cu["qiten"] * cpl[None] * m_ci
         utenx = utenx + cu["utenx"]
         vtenx = vtenx + cu["vtenx"]
         if cu["has_precip"]:
@@ -471,16 +538,15 @@ class PhysicsSuite:
         elif self.cfg.physics.ipptls == 2:
             # Nogherotto-Tompkins 5-species implicit microphysics
             # (nogtom, Main/microlib/mod_micro_nogtom.F90:358).
-            # Convective detrainment staging (qdetr) requires the
-            # Tiedtke-style detrainment diagnostic — zero until that
-            # lands (the reference also runs with zero qdetr for
-            # schemes that do not provide it).
+            # Convective detrainment staging: Tiedtke (icup=5) feeds
+            # its cu_qdetr diagnostic here; other schemes run with
+            # zero qdetr exactly as the reference does.
             from .micro.nogtom import nogtom
             qhb3 = atms["qhb3"]
             qx5 = jnp.stack([qvb3, qhb3[0], qhb3[1], qhb3[2],
                              qhb3[3]])
             out = nogtom(tb3, qx5, pb3, pf3, rho,
-                         cldfra, jnp.zeros_like(tb3), s.heatrt,
+                         cldfra, cu["qdetr"], s.heatrt,
                          atms["omega_pa"], core.grid_lndocn,
                          core.dtsec)
             pfac = cpl[None] * m_ci

@@ -101,6 +101,7 @@ c5ies = c3ies * (tzero - c4ies)
 c5alvcp = c5les * wlhv * rcpd
 c5alscp = c5ies * wlhs * rcpd
 wlhvocp = wlhv * rcpd
+wlhfocp = wlhf * rcpd
 cpowlhv = cpd / wlhv                 # cp/Lv (Share/mod_constants)
 wlhsocp = wlhs * rcpd
 
