@@ -205,6 +205,27 @@ class Model:
         self.xbctime = 0.0
         self.nstep = 0
         self._step_jit = jax.jit(stepfn, static_argnames=("flags",))
+        # tracer convective transport (cumtran, mod_tendency.F90:
+        # 595-603): state rewrite on the syncro_cum alarm for columns
+        # whose scheme does not transport internally (not Emanuel/
+        # Tiedtke, mod_che_cumtran.F90:56-68)
+        self._cumtran = None
+        if (cfg.physics.ichem and chem_ntr(cfg) > 0
+                and cfg.chem.ichcumtra == 1):
+            from .chem.cumtran import cumtran
+            land = np.asarray(self.grid.lndocn) > 0.5
+            icup_col = np.where(land, abs(cfg.physics.icup_lnd),
+                                abs(cfg.physics.icup_ocn))
+            # Tiedtke transports internally (ctracer); the reference
+            # also excludes Emanuel (mod_cu_em internal transport) —
+            # our Emanuel port has none yet, so those columns use the
+            # well-mixed fallback instead of silently skipping
+            # (documented deviation, PARITY §chem)
+            dotran = ~np.isin(icup_col, (5,))
+            if dotran.any():
+                self._dotran = jnp.asarray(dotran)
+                self._dsig = jnp.asarray(self.grid.dsigma, dtype)
+                self._cumtran = jax.jit(cumtran)
 
     def step(self):
         """Advance one timestep (first step forward-Euler dt, then
@@ -220,6 +241,17 @@ class Model:
             self.state, self.bdy,
             jnp.asarray(self.xbctime, self.dtype),
             jnp.asarray(dt, self.dtype), flags, mu)
+        if self._cumtran is not None and flags.do_cum:
+            s = self.state
+            if self.idynamic == 3:
+                (chib,) = self._cumtran((s.chi_b,), s.cuten[4],
+                                        self._dsig, self._dotran)
+                self.state = s._replace(chi_b=chib)
+            else:
+                chia, chib = self._cumtran(
+                    (s.chi_a, s.chi_b), s.cuten[4], self._dsig,
+                    self._dotran)
+                self.state = s._replace(chi_a=chia, chi_b=chib)
         self.nstep += 1
         self.xbctime += self.dtsec
         self.date = self.date.add_seconds(self.dtsec)

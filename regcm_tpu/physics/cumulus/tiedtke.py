@@ -162,6 +162,15 @@ class TiedtkeOut(NamedTuple):
     ktype: jax.Array
     kctop: jax.Array
     kcbot: jax.Array
+    # tracer-transport interface (section 11, :5344-5380): CFL-
+    # rescaled draught fluxes + detrainment rates for ctracer
+    ct_mfu: jax.Array
+    ct_mfd: jax.Array
+    ct_udrate: jax.Array
+    ct_ddrate: jax.Array
+    ct_ldcum: jax.Array
+    ct_lddraf: jax.Array
+    idtop: jax.Array
 
 
 def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
@@ -1320,9 +1329,139 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
         jnp.where((ktype == 1)[:, None], cf_deep,
                   jnp.where((ktype == 2)[:, None], cf_shal,
                             cf_mid)), 0.0)
+    # section 11 (:5344-5380): CFL-rescale the fluxes for tracer
+    # transport (tighter 0.8·cons cap, rmfsolct ≤ 3)
+    ct_ldcum = ldcum & (kcbot - kctop >= 1)
+    lim11 = ct_ldcum[:, None] & (karr1 >= kctop[:, None])
+    mfmax11 = (pf[:, 1:nk] - pf[:, :nk - 1]) * 0.8 * cons
+    mfs11 = jnp.minimum(1.0, jnp.where(
+        lim11 & (mfu[:, 1:] > mfmax11),
+        mfmax11 / jnp.maximum(mfu[:, 1:], CMFCMIN),
+        jnp.inf).min(axis=1))
+    span11u = ct_ldcum[:, None] & (karr >= kctop[:, None] - 1)
+    ct_lddraf = lddraf & ct_ldcum
+    span11d = ct_lddraf[:, None] & (karr >= idtop[:, None] - 1)
+    ct_mfu = jnp.where(span11u, mfu * mfs11[:, None], 0.0)
+    ct_udrate = jnp.where(span11u, mfude_rate * mfs11[:, None], 0.0)
+    ct_mfd = jnp.where(span11d, mfd * mfs11[:, None], 0.0)
+    ct_ddrate = jnp.where(span11d, mfdde_rate * mfs11[:, None], 0.0)
+
     z = jnp.where(ldcum[:, None], 1.0, 0.0)
     return TiedtkeOut(tten=tten * z, qten=qten * z, lten=tenl * z,
                       iten=teni * z, uten=uten * z, vten=vten * z,
                       prate=prate, qdetr=qdetr * z, raincc=raincc,
                       cldfra=cldfra,
-                      ktype=ktype, kctop=kctop, kcbot=kcbot)
+                      ktype=ktype, kctop=kctop, kcbot=kcbot,
+                      ct_mfu=ct_mfu, ct_mfd=ct_mfd,
+                      ct_udrate=ct_udrate, ct_ddrate=ct_ddrate,
+                      ct_ldcum=ct_ldcum, ct_lddraf=ct_lddraf,
+                      idtop=idtop)
+
+
+def ctracer(qtrac, out: TiedtkeOut, pf, dt):
+    """Convective tracer transport (ctracer, :7549-7707): updraft and
+    downdraft tracer profiles from the CFL-rescaled mass fluxes, then
+    an implicit bidiagonal update (rmfsolct=1).
+
+    qtrac (np, nk, ntr) uncoupled mixing ratios; returns the tracer
+    tendency (np, nk, ntr). Applied only on syncro_cum steps by the
+    caller — exactly the reference's impulse semantics (tenc is
+    written straight into the chem tendency array on alarm steps)."""
+    npx, nk, ntrc = qtrac.shape
+    mfu = out.ct_mfu
+    mfd = out.ct_mfd
+    udrate = out.ct_udrate
+    ddrate = out.ct_ddrate
+    ldcum = out.ct_ldcum
+    lddraf = out.ct_lddraf
+    kctop = out.kctop
+    idtop = out.idtop
+    karr = jnp.arange(nk)[None, :]
+    ar = jnp.arange(npx)
+    rdt = 1.0 / dt
+    dp_g = c.egrav / (pf[:, 1:] - pf[:, :-1])
+    cumask = ldcum[:, None] & (karr >= kctop[:, None] - 1) \
+        & (karr >= 1)
+
+    # 2. updraft values (:7559-7572), sequential upward
+    cu = jnp.zeros_like(qtrac)
+    cu = cu.at[:, nk - 1].set(qtrac[:, nk - 1])
+
+    def _cu_body(cu, k):
+        erate = (mfu[:, k] - mfu[:, k + 1] + udrate[:, k])[:, None]
+        mfa = (1.0 / jnp.maximum(CMFCMIN, mfu[:, k]))[:, None]
+        upd = (cumask[:, k] & (k >= kctop))[:, None]
+        val = (mfu[:, k + 1][:, None] * cu[:, k + 1]
+               + erate * qtrac[:, k]
+               - udrate[:, k][:, None] * cu[:, k + 1]) * mfa
+        return cu.at[:, k].set(jnp.where(upd, val, cu[:, k])), None
+
+    cu, _ = jax.lax.scan(_cu_body, cu,
+                         jnp.arange(nk - 2, 1, -1, dtype=jnp.int32))
+
+    # 3. downdraft values (:7576-7592), sequential downward
+    cd = jnp.zeros_like(qtrac)
+
+    def _cd_body(cd, k):
+        attop = (lddraf & (k == idtop))[:, None]
+        cd_top = 0.1 * cu[:, k] + 0.9 * qtrac[:, k - 1]
+        erate = (-mfd[:, k] + mfd[:, k - 1] + ddrate[:, k])[:, None]
+        mfa = (1.0 / jnp.minimum(-CMFCMIN, mfd[:, k]))[:, None]
+        indn = (lddraf & (k > idtop))[:, None]
+        val = (mfd[:, k - 1][:, None] * cd[:, k - 1]
+               - erate * qtrac[:, k - 1]
+               + ddrate[:, k][:, None] * cd[:, k - 1]) * mfa
+        cdk = jnp.where(attop, cd_top, jnp.where(indn, val, cd[:, k]))
+        return cd.at[:, k].set(cdk), None
+
+    cd, _ = jax.lax.scan(_cd_body, cd,
+                         jnp.arange(2, nk, dtype=jnp.int32))
+
+    # surface positivity guard (:7595-7608)
+    ks = nk - 1
+    posi = -dp_g[:, ks][:, None] * (
+        mfu[:, ks][:, None] * cu[:, ks]
+        + mfd[:, ks][:, None] * cd[:, ks]
+        - (mfu[:, ks] + mfd[:, ks])[:, None] * qtrac[:, ks - 1])
+    neg = lddraf[:, None] & (qtrac[:, ks] + posi * dt < 0.0)
+    mfa_s = (1.0 / jnp.minimum(-CMFCMIN, mfd[:, ks]))[:, None]
+    cd_fix = ((mfu[:, ks] + mfd[:, ks])[:, None] * qtrac[:, ks - 1]
+              - mfu[:, ks][:, None] * cu[:, ks]
+              + qtrac[:, ks] / (dt * dp_g[:, ks][:, None])) * mfa_s
+    cd = cd.at[:, ks].set(jnp.where(neg, cd_fix, cd[:, ks]))
+
+    # 4-5. fluxes and explicit divergence (ximp = 0, :7612-7638)
+    mfc = jnp.where(cumask[:, :, None],
+                    mfu[:, :, None] * cu + mfd[:, :, None] * cd, 0.0)
+    mfc_p = jnp.concatenate(
+        [mfc, jnp.zeros((npx, 1, ntrc), mfc.dtype)], axis=1)
+    xtenc = jnp.where(cumask[:, :, None],
+                      dp_g[:, :, None] * (mfc_p[:, 1:] - mfc), 0.0)
+    xtenc = xtenc.at[:, nk - 1].set(jnp.where(
+        ldcum[:, None], -dp_g[:, nk - 1][:, None] * mfc[:, nk - 1],
+        0.0))
+
+    # 7. implicit bidiagonal solve (rmfsolct=1, :7656-7695)
+    zp = dp_g * dt
+    aa = jnp.where(cumask, -zp * (mfu + mfd), 0.0)
+    mf_p = jnp.concatenate(
+        [mfu + mfd, jnp.zeros((npx, 1), mfu.dtype)], axis=1)
+    bb = jnp.where(cumask, 1.0 + zp * mf_p[:, 1:], 1.0)
+    bb = bb.at[:, nk - 1].set(jnp.where(cumask[:, nk - 1], 1.0,
+                                        bb[:, nk - 1]))
+    rhs = jnp.where(cumask[:, :, None], xtenc * dt + qtrac, qtrac)
+
+    def _solve_body(rp, k):
+        attop = (k == kctop - 1)[:, None]
+        solv = (cumask[:, k] & (jnp.abs(bb[:, k]) > 1e-30))[:, None]
+        rk = jnp.where(attop, rhs[:, k] / bb[:, k][:, None],
+                       (rhs[:, k] - aa[:, k][:, None] * rp)
+                       / bb[:, k][:, None])
+        rk = jnp.where(solv, rk, 0.0)
+        return rk, rk
+
+    _, rys = jax.lax.scan(_solve_body,
+                          jnp.zeros((npx, ntrc), qtrac.dtype),
+                          jnp.arange(nk, dtype=jnp.int32))
+    r1 = jnp.moveaxis(rys, 0, 1)
+    return jnp.where(cumask[:, :, None], (r1 - qtrac) * rdt, 0.0)

@@ -442,6 +442,9 @@ class PhysicsSuite:
                                  0.0),
                 qcten=uncol(qcten), qiten=uncol(qiten),
                 qdetr=uncol(out.qdetr))
+            # stash the tracer-transport interface for the chem hook
+            # (ctracer runs inside the scheme on alarm steps only)
+            res["_tdk"] = out
         else:
             raise ValueError(f"icup={icup} not implemented")
         return res
@@ -983,6 +986,24 @@ class PhysicsSuite:
                         fld, hout.alphak, hout.betak_q, dt, 0.0))(chib3)
                 chiten_chem = chiten_chem + (chip - chib3) / dt \
                     * cpl[None] * m_ci
+            # Tiedtke internal convective tracer transport (ctracer,
+            # mod_cu_tiedtke.F90:7549; lmftrac): impulse applied on
+            # syncro_cum steps when icup=5 runs this step
+            if "_tdk" in cu:
+                from .cumulus.tiedtke import ctracer
+                iy2, jx2 = tb3.shape[1], tb3.shape[2]
+                ncol2 = iy2 * jx2
+                rpsb3 = atms["rpsb"]
+                chi_u = jnp.maximum(s.chi_b * rpsb3[None], 0.0)
+                qtrac = jnp.transpose(
+                    chi_u.reshape(self.chem.ntr, kz, ncol2),
+                    (2, 1, 0))
+                ct = ctracer(qtrac, cu["_tdk"],
+                             pf3.reshape(kz + 1, ncol2).T,
+                             float(core.dtsec))
+                chiten_chem = chiten_chem + jnp.transpose(
+                    ct, (2, 1, 0)).reshape(self.chem.ntr, kz, iy2,
+                                           jx2) * cpl[None] * m_ci
             sfupd["_chiten"] = chiten_chem
             # accumulate emission/deposition burdens (kg/m²)
             zf = jnp.zeros_like(cdiag.get(

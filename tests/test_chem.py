@@ -146,7 +146,7 @@ def test_chem_refusals_loud():
     with pytest.raises(ValueError, match="ichdrdepo"):
         Model(cfg, dtype=jnp.float64)
     cfg.chem.ichdrdepo = 1
-    cfg.core.idynamic = 3
+    cfg.core.idynamic = 2          # NH core: chem still refused
     with pytest.raises(ValueError, match="idynamic"):
         Model(cfg, dtype=jnp.float64)
 
@@ -179,3 +179,60 @@ def test_dust_direct_effect_cuts_surface_sw():
     sw_clean = np.asarray(m2.state.swsfc)
     assert (sw_clean - sw_dust).mean() > 0.5, \
         "dust direct effect did not reduce surface SW"
+
+
+def test_cumtran_wellmixed_conserves():
+    """cumtran (mod_che_cumtran.F90:73-118): blending toward the
+    sigma-weighted mean conserves column tracer mass over the cloud
+    span, makes the f=1 limit exactly well-mixed, and leaves
+    no-cloud / no-transport columns untouched."""
+    from regcm_tpu.chem.cumtran import cumtran
+    rng = np.random.default_rng(3)
+    kz, iy, jx = 12, 4, 5
+    chi = jnp.asarray(rng.uniform(0.1, 2.0, (2, kz, iy, jx)))
+    dsig = jnp.asarray(rng.uniform(0.5, 1.5, kz))
+    f = np.zeros((kz, iy, jx))
+    f[5:, :, :2] = 1.0            # cloud top at k=5, f=1 → well mixed
+    f[5:, :, 2] = 0.3             # partial mixing
+    dotran = np.ones((iy, jx), bool)
+    dotran[:, 3] = False          # Emanuel/Tiedtke column: untouched
+    (out,) = cumtran((chi,), jnp.asarray(f), dsig,
+                     jnp.asarray(dotran))
+    out = np.asarray(out)
+    chi0 = np.asarray(chi)
+    ds = np.asarray(dsig)
+    # f=1 columns: uniform below cloud top, equal to the sigma mean
+    bar = (chi0[:, 5:, :, 0] * ds[None, 5:, None]).sum(1) \
+        / ds[5:].sum()
+    np.testing.assert_allclose(out[:, 5:, :, 0],
+                               np.broadcast_to(bar[:, None, :],
+                                               (2, 7, iy)), rtol=1e-12)
+    # mass conserved over the span in the partial column
+    m0 = (chi0[:, 5:, :, 2] * ds[None, 5:, None]).sum(1)
+    m1 = (out[:, 5:, :, 2] * ds[None, 5:, None]).sum(1)
+    np.testing.assert_allclose(m0, m1, rtol=1e-12)
+    # above cloud top and excluded columns unchanged
+    np.testing.assert_array_equal(out[:, :5], chi0[:, :5])
+    np.testing.assert_array_equal(out[..., 3], chi0[..., 3])
+    np.testing.assert_array_equal(out[..., 4], chi0[..., 4])
+
+
+@needs_ref
+def test_chem_with_tiedtke_ctracer():
+    """chem + icup=5: the Tiedtke internal tracer transport (ctracer)
+    replaces cumtran for those columns; tracers stay finite and
+    non-negative after convective impulses."""
+    cfg = RegCMConfig.from_file(NML)
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 12, 16, 14
+    cfg.time.dt = 120.0
+    cfg.time.dtcum = 120.0
+    cfg.physics.icup_lnd = 5
+    cfg.physics.icup_ocn = 5
+    m = Model(cfg, dtype=jnp.float64)
+    chi = m.state.chi_a.at[:, 10:].set(1e-6 * m.state.ps_a[None, None])
+    m.state = m.state._replace(chi_a=chi, chi_b=chi)
+    for _ in range(2):
+        m.step()
+    for nm in ("chi_a", "chi_b", "t_a", "ps_a"):
+        assert np.isfinite(np.asarray(getattr(m.state, nm))).all(), nm
+    assert float(np.asarray(m.state.chi_b).min()) > -1e-10

@@ -137,3 +137,33 @@ def test_model_icup5(tmp_path):
         assert np.isfinite(np.asarray(dec[name])).all(), name
     assert float(np.asarray(dec["t"]).min()) > 150.0
     assert float(np.asarray(dec["t"]).max()) < 330.0
+
+
+def test_ctracer_transport(sounding):
+    """Internal convective tracer transport (ctracer :7549): mass
+    conserved by the implicit solve, BL tracer moved upward in
+    convecting columns, untouched in quiet ones."""
+    from regcm_tpu.physics.cumulus.tiedtke import ctracer
+    args, ph, pf = sounding
+    out = ntiedtke(*args, dtcum=60.0, dx=25000.0, pref=ph.copy())
+    ntr = 2
+    qtrac = np.zeros((NP, NK, ntr))
+    qtrac[:, -4:, 0] = 1.0e-6          # BL-concentrated tracer
+    qtrac[:, :, 1] = 5.0e-7            # uniform tracer
+    ct = np.asarray(ctracer(jnp.asarray(qtrac), out,
+                            args[8], 60.0))
+    dp = (pf[1:] - pf[:-1]) / c.egrav
+    # quiet column: zero tendency
+    assert np.abs(ct[2]).max() == 0.0
+    for n in (0, 1, 3):
+        # column mass conserved by the implicit transport operator
+        m = (ct[n, :, 0] * dp).sum()
+        scale = (qtrac[n, :, 0] * dp).sum() / 60.0
+        assert abs(m) < 5e-3 * scale
+        # BL tracer lofted: some tendency above the boundary layer
+        assert ct[n, :-6, 0].max() > 0.0
+        # BL source levels are depleted
+        assert ct[n, -4:, 0].min() < 0.0
+        # positivity guard: no tracer driven below ~0 in one impulse
+        assert (qtrac[n, :, 0] + ct[n, :, 0] * 60.0).min() > -1e-12
+    assert np.isfinite(ct).all()
