@@ -172,6 +172,11 @@ class PhysicsParam:
     islab_ocean: int = 0
     itweak: int = 0
     scenario: str = "SSP585"
+    # solar forcing controls (Main/mod_params.F90:273-276)
+    isolconst: int = 0       # 1 = pin TSI at 1367 W/m²
+    ifixsolar: int = 0       # 1 = no diurnal/seasonal cycle
+    fixedsolarval: float = 343.0
+    year_offset: int = 0     # paleo orbit offset (solar1)
     extras: Dict[str, Any] = field(default_factory=dict)
 
 

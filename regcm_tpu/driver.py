@@ -235,12 +235,20 @@ class Model:
             else 2.0 * self.dtsec
         flags = self._flags()
         from .utils.sun import coszrs as _coszrs
-        mu = jnp.asarray(_coszrs(self.date, self.grid.xlat,
-                                 self.grid.xlon), self.dtype)
+        sol = self._solar()
+        if int(self.cfg.physics.ifixsolar) == 1:
+            # no diurnal cycle: overhead sun everywhere (zenitm,
+            # Main/mod_sun.F90:330-333)
+            mu = jnp.ones((self.grid.iy, self.grid.jx), self.dtype)
+        else:
+            mu = jnp.asarray(_coszrs(self.date, self.grid.xlat,
+                                     self.grid.xlon, decl=sol.declin),
+                             self.dtype)
+        solar = jnp.asarray([sol.eccf, sol.solcon], self.dtype)
         self.state, diags = self._step_jit(
             self.state, self.bdy,
             jnp.asarray(self.xbctime, self.dtype),
-            jnp.asarray(dt, self.dtype), flags, mu)
+            jnp.asarray(dt, self.dtype), flags, mu, solar)
         if self._cumtran is not None and flags.do_cum:
             s = self.state
             if self.idynamic == 3:
@@ -257,6 +265,21 @@ class Model:
         self.date = self.date.add_seconds(self.dtsec)
         self.last_diags = diags
         return diags
+
+    def _solar(self):
+        """Daily-cached solar forcing (solar1 runs on the alarm_day
+        cadence, Main/mod_sun.F90:318-326)."""
+        from .utils.sun import solar_state
+        key = (self.date.year, self.date.month, self.date.day)
+        if getattr(self, "_solar_key", None) != key:
+            ph = self.cfg.physics
+            self._solar_val = solar_state(
+                self.date, year_offset=int(ph.year_offset),
+                ifixsolar=int(ph.ifixsolar),
+                fixedsolarval=float(ph.fixedsolarval),
+                isolconst=int(ph.isolconst))
+            self._solar_key = key
+        return self._solar_val
 
     def _flags(self) -> StepFlags:
         """Physics cadence flags (syncro_rad/srf alarms,

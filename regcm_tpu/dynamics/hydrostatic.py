@@ -361,7 +361,7 @@ class HydroCore:
 
     @with_topology
     def step(self, s: HydroState, bdy: BdyState, xt, dt,
-             flags: StepFlags = StepFlags(), coszrs=None
+             flags: StepFlags = StepFlags(), coszrs=None, solar=None
              ) -> Tuple[HydroState, Dict[str, jax.Array]]:
         """One leapfrog step (tend, Main/mod_tendency.F90:212-560).
 
@@ -464,6 +464,10 @@ class HydroCore:
                     za=za, zq=zq, dzq=dzq, psb=psb, psa=psa,
                     omega_pa=omega * 1000.0, qdot=qdot, rpsb=rpsb,
                     coszrs=coszrs)
+        if solar is not None:
+            # per-day solar forcing from the driver (solar1 outputs):
+            # eccentricity factor + TSI
+            atms["eccf"], atms["solcon"] = solar[0], solar[1]
 
         # -- new_pressure (mod_tendency.F90:1428-1460) -------------------
         if self.iboudy == 4:
@@ -896,7 +900,7 @@ class HydroCore:
     # ------------------------------------------------------------------
     @with_topology
     def step_nh(self, s: HydroState, bdy: BdyState, xt, dt,
-                flags: StepFlags = StepFlags(), coszrs=None
+                flags: StepFlags = StepFlags(), coszrs=None, solar=None
                 ) -> Tuple[HydroState, Dict[str, jax.Array]]:
         """MM5 non-hydrostatic step (idynamic=2): the tend NH branches
         (mod_tendency.F90 decouple/compute_omega/adiabatic idynamic==2
@@ -998,6 +1002,8 @@ class HydroCore:
                     pf3=pf3, ps2d=ps2d, rhob3=rhob3, qsb3=qsb3, rhb3=rhb3,
                     za=za, zq=zq, dzq=dzq, psb=psb, psa=psa,
                     omega_pa=omega, qdot=qdot, rpsb=rpsb, coszrs=coszrs)
+        if solar is not None:
+            atms["eccf"], atms["solcon"] = solar[0], solar[1]
 
         # diffusion coefficients (NH variant, mod_diffusion idyn/=1)
         dudx = (shift(ubd3, 1, 1) + shift(ubd3, 0, 1) - shift(ubd3, 1, 0)

@@ -784,7 +784,7 @@ class MolochCore:
 
     # ------------------------------------------------------------------
     def step(self, st: MolochState, bdy=None, xt=0.0, dt=None,
-             flags=None, coszrs=None
+             flags=None, coszrs=None, solar=None
              ) -> Tuple[MolochState, Dict[str, jax.Array]]:
         """One MOLOCH model step (moloch, mod_moloch.F90:224-480):
         acoustic/advection substeps → decouple → mkslice → physics
@@ -850,6 +850,8 @@ class MolochCore:
             atms = self.mkslice(t, pai, qx, u, v, w)
             if coszrs is not None:
                 atms["coszrs"] = coszrs
+            if solar is not None:
+                atms["eccf"], atms["solcon"] = solar[0], solar[1]
             s_now = st._replace(u=u, v=v, w=w, pai=pai, t=t, qx=qx)
             z3 = jnp.zeros_like(t)
             (tphy, qvphy, qhphy, uphy, vphy, cldfra, heatrt,

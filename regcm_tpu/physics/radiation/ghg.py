@@ -61,6 +61,19 @@ _RCP: Dict[str, Dict[int, Tuple[float, float, float]]] = {
     },
 }
 
+# CFC-11 / CFC-12 (ppt) — Montreal-Protocol trajectory shared by all
+# RCPs within the broadband scheme's sensitivity (WMO ozone assessment
+# / Meinshausen et al. 2011 ODS record): growth to mid-90s peaks
+# (CFC-11 ≈ 270 ppt 1994, CFC-12 ≈ 545 ppt 2003), slow decline after
+_CFC = {
+    1850: (0.0, 0.0), 1940: (0.0, 0.2), 1950: (1.0, 6.0),
+    1960: (9.0, 30.0), 1970: (60.0, 120.0), 1980: (162.0, 297.0),
+    1990: (255.0, 465.0), 1995: (268.0, 520.0), 2000: (263.0, 537.0),
+    2005: (253.0, 543.0), 2010: (240.0, 531.0), 2020: (220.0, 498.0),
+    2030: (193.0, 453.0), 2040: (166.0, 405.0), 2050: (141.0, 358.0),
+    2070: (99.0, 272.0), 2100: (55.0, 178.0),
+}
+
 # AR6 SSP names → closest AR5 RCP trajectory
 _SSP_MAP = {
     "SSP119": "RCP2.6", "SSP126": "RCP2.6", "SSP245": "RCP4.5",
@@ -97,4 +110,9 @@ def ghg_concentrations(scenario: str, year: float,
     co2 = float(np.interp(y, years, vals[:, 0]))
     ch4 = float(np.interp(y, years, vals[:, 1]))
     n2o = float(np.interp(y, years, vals[:, 2]))
-    return {"co2ppm": co2, "ch4ppb": ch4, "n2oppb": n2o}
+    cyears = np.array(sorted(_CFC))
+    cvals = np.array([_CFC[cy] for cy in cyears])
+    cfc11 = float(np.interp(y, cyears, cvals[:, 0]))
+    cfc12 = float(np.interp(y, cyears, cvals[:, 1]))
+    return {"co2ppm": co2, "ch4ppb": ch4, "n2oppb": n2o,
+            "cfc11ppt": cfc11, "cfc12ppt": cfc12}

@@ -157,14 +157,16 @@ class PhysicsSuite:
                                                      "ccm3"))
         if self.rad_scheme == "ccm3":
             from .radiation.ccm3.tables import ghg_mmr
-            # CFC concentrations ~1990s (Meinshausen tables; refine with
-            # the full per-year record alongside RRTMG)
+            # CFC-11/12 from the scenario ODS record (extras override)
             self.ghg_mmr = ghg_mmr(dict(
                 co2=self.ghg["co2ppm"], ch4=self.ghg["ch4ppb"],
                 n2o=self.ghg["n2oppb"],
-                cfc11=float(cfg.physics.extras.get("cfc11ppt", 268.0)),
-                cfc12=float(cfg.physics.extras.get("cfc12ppt",
-                                                   503.0))))
+                cfc11=float(cfg.physics.extras.get(
+                    "cfc11ppt", self.ghg["cfc11ppt"])),
+                cfc12=float(cfg.physics.extras.get(
+                    "cfc12ppt", self.ghg["cfc12ppt"]))))
+        # config-time TSI fallback (per-day value arrives via
+        # atms["solcon"] from the driver's solar_state)
         self.solcon = float(cfg.physics.extras.get("fixedsolarval",
                                                    1367.0))
         self.xlat = jnp.asarray(grid.xlat)
@@ -634,10 +636,15 @@ class PhysicsSuite:
                 aldirs = aldifs = aldirl = aldifl = alb
                 albvs = albvl = alb
                 emis2d_b = jnp.full_like(psb, 0.985)
+            # per-day solar forcing from the driver (solar1 outputs,
+            # Main/mod_sun.F90:258-330): Berger eccentricity factor +
+            # Lean-table TSI; config-time constants as fallback for
+            # standalone physics calls
+            eccf = atms.get("eccf", 1.0)
+            solcon = atms.get("solcon", self.solcon)
             if self.rad_scheme == "ccm3":
                 # CCM3 spectral radiation (colmod3/radctl) with the
-                # BATS per-band albedos; eccf=1 (±3.4% seasonal TSI
-                # cycle pending the orbital module). LW absorptivity/
+                # BATS per-band albedos. LW absorptivity/
                 # emissivity follow the dtabem alarm (getabetot,
                 # Main/mod_rad_interface.F90:62-65): recomputed when
                 # flags.do_abem, else read from the state cache.
@@ -657,7 +664,7 @@ class PhysicsSuite:
                     cldfra, cldlwc, coszrs, s.tg, core.grid_lndocn,
                     self.xlat, aldirs, aldifs, aldirl, aldifl,
                     albvs, albvl, emis2d_b,
-                    self.ghg_mmr, eccf=1.0, solcon=self.solcon,
+                    self.ghg_mmr, eccf=eccf, solcon=solcon,
                     five_species=(core.nqx == 5),
                     cache=abem_cache, want_cache=flags.do_abem,
                     **aer_kw)
@@ -668,7 +675,10 @@ class PhysicsSuite:
                 lwnet = rad.lwnet_sfc
             else:
                 rad = radiation(tb3, qvb3, pf3, pb3, cldfra, cldlwc,
-                                coszrs, s.tg, alb, **self.ghg)
+                                coszrs, s.tg, alb, eccf=eccf,
+                                co2ppm=self.ghg["co2ppm"],
+                                ch4ppb=self.ghg["ch4ppb"],
+                                n2oppb=self.ghg["n2oppb"])
                 heatrt = rad.heatrt * m_ci
                 swabs = rad.swabs_sfc
                 lwnet = rad.lwnet_sfc

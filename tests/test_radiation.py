@@ -115,3 +115,76 @@ def test_cloud_effects():
     assert float(rc.swabs_sfc[0, 0]) < float(r0.swabs_sfc[0, 0])
     # and reduce OLR (greenhouse effect of the cloud)
     assert float(rc.flnt[0, 0]) < float(r0.flnt[0, 0])
+
+
+class TestSolarGeometry:
+    """Berger orbital parameters + TSI wiring (solar1,
+    Main/mod_sun.F90:258; orb_params/orb_decl,
+    Share/mod_sunorbit.F90:85,496)."""
+
+    def test_orbit_params_present_day(self):
+        from regcm_tpu.utils.sun import orb_params
+        o = orb_params(1990)
+        # canonical present-day orbit: e≈0.0167, obliquity≈23.44°
+        assert abs(o.eccen - 0.0167) < 4e-4
+        assert abs(np.degrees(o.obliqr) - 23.44) < 0.02
+
+    def test_eccf_seasonal_cycle(self):
+        """±3.4% TOA cycle: perihelion (Jan 3) vs aphelion (Jul 4)."""
+        from regcm_tpu.utils.sun import (orb_params, orb_decl,
+                                         yearpoint)
+        from regcm_tpu.utils.calendar import Date
+        o = orb_params(1990)
+        _, e_per = orb_decl(yearpoint(Date.from_int(1990010312)), o)
+        _, e_aph = orb_decl(yearpoint(Date.from_int(1990070412)), o)
+        assert 1.030 < e_per < 1.038
+        assert 0.963 < e_aph < 0.970
+        assert abs(e_per / e_aph - 1.069) < 0.004
+
+    def test_declination_solstice_equinox(self):
+        from regcm_tpu.utils.sun import (orb_params, orb_decl,
+                                         yearpoint)
+        from regcm_tpu.utils.calendar import Date
+        o = orb_params(2000)
+        d_jun, _ = orb_decl(yearpoint(Date.from_int(2000062112)), o)
+        d_mar, _ = orb_decl(yearpoint(Date.from_int(2000032012)), o)
+        assert abs(np.degrees(d_jun) - 23.44) < 0.15
+        assert abs(np.degrees(d_mar)) < 0.5
+
+    def test_tsi_table(self):
+        """Lean-table TSI ~1361-1363 W/m² modern era (×0.9965 tsifac,
+        Main/mod_sun.F90:40,374); isolconst pins 1367."""
+        from regcm_tpu.utils.sun import solar_irradiance
+        from regcm_tpu.utils.calendar import Date
+        s = solar_irradiance(Date.from_int(1990060100))
+        assert 1360.0 < s < 1364.0
+        assert solar_irradiance(Date.from_int(1990060100),
+                                isolconst=1) == 1367.0
+
+    def test_solin_scales_with_eccf(self):
+        """TOA incident flux carries the eccentricity factor
+        (solin = scon·eccf·μ, mod_rad_radiation radinp)."""
+        args, ghg = _column_raw()
+        r_per = ccm3_radiation(*args, ghg, eccf=1.034)[0]
+        r_aph = ccm3_radiation(*args, ghg, eccf=0.967)[0]
+        ratio = float(r_per.solin[0, 0] / r_aph.solin[0, 0])
+        assert abs(ratio - 1.034 / 0.967) < 1e-6
+
+    def test_model_passes_eccf(self):
+        """Driver threads the per-day solar state into the step (no
+        hardcoded eccf=1 at the suite call site)."""
+        from regcm_tpu.config.params import RegCMConfig
+        from regcm_tpu.driver import Model
+        cfg = RegCMConfig()
+        cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 10, 12, 18
+        cfg.restart.mdate1 = 1990010300      # perihelion
+        m = Model(cfg)
+        sol = m._solar()
+        assert sol.eccf > 1.03
+        m.step()
+        # aphelion date → small eccf
+        cfg2 = RegCMConfig()
+        cfg2.dim.iy, cfg2.dim.jx, cfg2.dim.kz = 10, 12, 18
+        cfg2.restart.mdate1 = 1990070400
+        m2 = Model(cfg2)
+        assert m2._solar().eccf < 0.97
