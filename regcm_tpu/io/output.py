@@ -1,4 +1,4 @@
-"""Model output streams (ATM / SRF / RAD / STS / LAK).
+"""Model output streams (ATM / SRF / RAD / STS / LAK / SUB / CHE).
 
 Mirrors the reference stream system (stream ids
 ``Main/mpplib/mod_ncout.F90:143-152``, variable inventory

@@ -11,9 +11,9 @@ over the small static ``nk`` (each iteration is one fused dense
 update); every conditional is `jnp.where` masking.
 
 Scope notes (documented deviations):
-* lmfsmooth=.false. (reference default) — tracer-flux smoothing and
-  the ctracer convective tracer transport are not ported yet
-  (ichcumtra with icup=5 is refused at config time);
+* lmfsmooth=.false. (reference default — no tracer-flux smoothing);
+* the ctracer convective tracer transport IS ported (``ctracer``
+  below, mod_cu_tiedtke.F90:7120; exercised by tests/test_chem.py);
 * llconscheck diagnostics omitted;
 * lmfwstar=.false. (reference default);
 * midlevel convection (mcbase, ktype=3) not yet triggered — deep and
