@@ -10,10 +10,12 @@ as the reference's only published anchor (~1.9e5 grid-point·steps/s on
 Doc/UserGuide/TestRun.tex:265).  Further lines: dynamics-only test_001
 and the 3 km convection-permitting MOLOCH flagship (192x192x41).
 
-Radiation cost is amortized honestly: the timed loop runs plain steps
-(surface every step — conservative vs the reference's dtsrf cadence)
-and the dtrad-alarm radiation step is timed separately and charged at
-1/nrad per step.
+Alarm costs are amortized honestly: the base step and every alarmed
+physics class (cumulus/surface/radiation/absorptivity) are each timed
+from scanned multi-step trajectories — never from single device
+dispatches, whose host round-trip latency on the tunneled backend
+would contaminate the (t_class - t_base) subtraction — and charged at
+1/cadence per step.
 """
 import json
 import math
@@ -140,16 +142,25 @@ def _alarmed_physics_timing(core, s, bdy, mu, cfg, dtsec, physics,
     if not physics:
         return t_base, {}, multi, s
 
+    # Every alarm class is timed from a SCANNED multi-step trajectory
+    # (every step fires the class), so the per-step cost carries no
+    # single-dispatch latency — on the tunneled TPU backend a lone
+    # device call pays a host round-trip that used to inflate the
+    # subtraction (t_class - t_base) by ~the dispatch cost.
     def one(flags, nrep):
-        fn = jax.jit(lambda sc: step(sc, bdy, xt, dt, flags, mu)[0])
-        return _time_fn(fn, s, nrep)
+        def body(carry, _):
+            ns, _ = step(carry, bdy, xt, dt, flags, mu)
+            return ns, ()
+        fn = jax.jit(lambda sc: jax.lax.scan(
+            body, sc, None, length=chunk)[0])
+        return _time_fn(fn, s, nrep, chunk)
 
-    t_cum = one(StepFlags(do_rad=False, do_srf=False, do_cum=True), 5)
-    t_srf = one(StepFlags(do_rad=False, do_srf=True, do_cum=False), 5)
+    t_cum = one(StepFlags(do_rad=False, do_srf=False, do_cum=True), 2)
+    t_srf = one(StepFlags(do_rad=False, do_srf=True, do_cum=False), 2)
     t_rad = one(StepFlags(do_rad=True, do_srf=False, do_cum=False,
-                          do_abem=False), 5)
+                          do_abem=False), 2)
     t_abem = one(StepFlags(do_rad=True, do_srf=False, do_cum=False,
-                           do_abem=True), 3)
+                           do_abem=True), 1)
     ncum = max(int(round(max(cfg.time.dtcum, dtsec) / dtsec)), 1)
     nsrf = max(int(round(cfg.time.dtsrf / dtsec)), 1)
     nrad = max(int(round(cfg.time.dtrad_sec / dtsec)), 1)
