@@ -1,16 +1,20 @@
 """Tracer registry: chemsimtype → active species set.
 
-The reference fixes the tracer table in ``mod_che_start.F90`` (chtrname
-assignment per ``chemsimtype``) with indices in ``mod_che_indices.F90``.
-This framework implements the aerosol *dust* simulations first:
-``DUST`` (4 transport bins) and ``DU12`` (12 bins), the configurations
-exercised by ``Testing/test_008.in``.  Gas-phase sets (CBMZ, POLLEN,
-…) stay config-time refusals until their solvers are ported.
+The reference fixes the tracer table in ``mod_che_start.F90``
+(chtrname assignment per ``chemsimtype``,
+``mod_che_common.F90:240-410``) with indices in
+``mod_che_indices.F90``.  Implemented simulations: the dust sets
+(``DUST``/``DU12``), sea salt (``SSLT``), dust+seasalt (``DUSS``),
+carbonaceous (``CARB``), sulfur (``SULF``), sulfur+carbon (``SUCA``),
+the full aerosol mix (``AERO``), ``POLLEN``, and the CBMZ gas phase
+(``CBMZ``).  DCCB (CBMZ+aerosols+ISORROPIA) stays a config-time
+refusal until the ISORROPIA equilibrium port.
 
 Scientific constant tables (bin edges, effective diameters,
-solubility) are the reference's published dust parameters
-(``Main/chemlib/mod_che_dust.F90:39-90``) — parameter similarity, not
-code translation.
+densities, solubilities) are the reference's published aerosol
+parameters (``mod_che_dust.F90:39-90``, ``mod_che_seasalt.F90:33-44``,
+``mod_che_carbonaer.F90:35-82``, ``mod_che_pollen.F90:37-46``) —
+parameter similarity, not code translation.
 """
 from __future__ import annotations
 
@@ -35,49 +39,175 @@ DUSTBED12 = np.array([0.14062217, 0.43004150, 1.10404692, 1.96586770,
 RHODUST = 2650.0          # kg/m³ (mod_che_dust.F90:90)
 SOLDUST = 0.1             # solubility fraction (mod_che_dust.F90:84)
 
+# sea salt (mod_che_seasalt.F90:33-44)
+RHOSSLT = 1020.0
+SSLTBSIZ = np.array([[0.05, 1.0], [1.0, 10.0]])   # dry diameter µm
+SSLTBED = np.array([0.6, 6.0])
+SOLSSLT = 0.8
+
+# carbonaceous (mod_che_carbonaer.F90:35-82); SO4 rides in the carb
+# group with reffochl/solso4 (mod_che_start.F90:158-166).  Group
+# density follows the reference's drydep call (rhooc for the whole
+# icarb vector, mod_che_tend.F90:409-417) — a documented group-level
+# shortcut of the reference itself.
+RHOBC, RHOOC, RHOCARB_GROUP = 2000.0, 1200.0, 1200.0
+REFFBC, REFFOC, REFFHL = 0.05, 0.2, 0.3
+SOLBC, SOLOC, SOLHL = 0.05, 0.05, 0.8
+CARB_AGING_EFOLD = 1.15 * 86400.0     # s (Cooke et al. 1999)
+
+# sulfur (mod_che_sox.F90:36-37)
+SOLSO2, SOLSO4 = 0.6, 1.0
+
+# pollen (mod_che_pollen.F90:37-46)
+RHOPOLLEN, REFFPOLLEN, SOLPOLLEN = 1200.0, 20.0, 0.05
+
 
 @dataclass
 class ChemSpec:
-    """Active tracer set + per-tracer aerosol parameters."""
+    """Active tracer set + per-tracer parameters.
+
+    ``kind``: per-tracer category — 'dust', 'sslt', 'carb' (aerosol
+    group incl. SO4), 'so2' (gas), 'pollen', 'gas' (CBMZ species).
+    Aerosol deposition fields are zero/unused for gas tracers.
+    """
     simtype: str
     names: List[str]
-    # aerosol bin properties (None for gas tracers)
+    kind: List[str]
     bin_diam: np.ndarray          # effective diameter (µm) per tracer
-    bin_size: np.ndarray          # (ntr, 2) transport size range (µm)
+    bin_size: np.ndarray          # (ndust, 2) dust emission ranges (µm)
     rhop: np.ndarray              # particle density (kg/m³)
     sol: np.ndarray               # solubility fraction chtrsol
+    ioxclim: int = 0              # prescribed oxidant climatology
+    igaschem: int = 0             # interactive gas-phase solver
+    # carbon aging pairs (hydrophobic idx → hydrophilic idx)
+    aging_pairs: List[tuple] = field(default_factory=list)
 
     @property
     def ntr(self) -> int:
         return len(self.names)
 
+    @property
+    def aerosol_mask(self) -> np.ndarray:
+        return np.array([k != "gas" and k != "so2" for k in self.kind])
 
-SUPPORTED_CHEMSIM = ("DUST", "DU12")
+    def index(self, name: str) -> int:
+        return self.names.index(name)
+
+    def indices(self, *kinds: str) -> List[int]:
+        return [i for i, k in enumerate(self.kind) if k in kinds]
+
+    @property
+    def iso2(self) -> Optional[int]:
+        return self.names.index("SO2") if "SO2" in self.names else None
+
+    @property
+    def iso4(self) -> Optional[int]:
+        for n in ("SO4", "H2SO4"):
+            if n in self.names:
+                return self.names.index(n)
+        return None
+
+
+SUPPORTED_CHEMSIM = ("DUST", "DU12", "SSLT", "DUSS", "CARB", "SULF",
+                     "SUCA", "AERO", "POLLEN", "CBMZ")
+
+
+def _dust(nbin):
+    if nbin == 4:
+        return (["DUST%02d" % (i + 1) for i in range(4)], DUSTBED4,
+                DUSTBSIZ4)
+    return (["DUST%02d" % (i + 1) for i in range(12)], DUSTBED12,
+            DUSTBSIZ12)
+
+
+def _mk(simtype, names, kind, diam, rho, sol, **kw):
+    return ChemSpec(simtype=simtype, names=names, kind=kind,
+                    bin_diam=np.asarray(diam, float),
+                    bin_size=kw.pop("bin_size", np.zeros((0, 2))),
+                    rhop=np.asarray(rho, float),
+                    sol=np.asarray(sol, float), **kw)
+
+
+# carbonaceous block: BC_HL, BC_HB, OC_HL, OC_HB in the reference's
+# CARB/AERO ordering (mod_che_common.F90:284-287)
+_CARB_NAMES = ["BC_HL", "BC_HB", "OC_HL", "OC_HB"]
+_CARB_DIAM = [REFFHL, REFFBC, REFFHL, REFFOC]
+_CARB_SOL = [SOLHL, SOLBC, SOLHL, SOLOC]
 
 
 def build_species(chemsimtype: str) -> Optional[ChemSpec]:
-    """Translate the chemparam ``chemsimtype`` string into a tracer set
-    (mod_che_start.F90 start_chem).  Raises for simulations whose
+    """Translate the chemparam ``chemsimtype`` string into a tracer
+    set (mod_che_start.F90 start_chem).  Raises for simulations whose
     solvers are not yet ported — never a silent no-op."""
     sim = (chemsimtype or "").strip().upper()
     if not sim:
         return None
-    if sim == "DUST":
-        nbin = 4
-        return ChemSpec(
-            simtype=sim,
-            names=[f"DUST{i+1:02d}" for i in range(nbin)],
-            bin_diam=DUSTBED4, bin_size=DUSTBSIZ4,
-            rhop=np.full(nbin, RHODUST), sol=np.full(nbin, SOLDUST))
-    if sim == "DU12":
-        nbin = 12
-        return ChemSpec(
-            simtype=sim,
-            names=[f"DUST{i+1:02d}" for i in range(nbin)],
-            bin_diam=DUSTBED12, bin_size=DUSTBSIZ12,
-            rhop=np.full(nbin, RHODUST), sol=np.full(nbin, SOLDUST))
+    if sim in ("DUST", "DU12"):
+        nbin = 4 if sim == "DUST" else 12
+        names, bed, bsz = _dust(nbin)
+        return _mk(sim, names, ["dust"] * nbin, bed,
+                   [RHODUST] * nbin, [SOLDUST] * nbin, bin_size=bsz)
+    if sim == "SSLT":
+        return _mk(sim, ["SSLT01", "SSLT02"], ["sslt"] * 2, SSLTBED,
+                   [RHOSSLT] * 2, [SOLSSLT] * 2)
+    if sim == "DUSS":
+        names, bed, bsz = _dust(4)
+        return _mk(sim, names + ["SSLT01", "SSLT02"],
+                   ["dust"] * 4 + ["sslt"] * 2,
+                   np.concatenate([bed, SSLTBED]),
+                   [RHODUST] * 4 + [RHOSSLT] * 2,
+                   [SOLDUST] * 4 + [SOLSSLT] * 2, bin_size=bsz)
+    if sim == "CARB":
+        sp = _mk(sim, list(_CARB_NAMES), ["carb"] * 4, _CARB_DIAM,
+                 [RHOCARB_GROUP] * 4, _CARB_SOL)
+        sp.aging_pairs = [(1, 0), (3, 2)]     # BC_HB→BC_HL, OC_HB→OC_HL
+        return sp
+    if sim == "SULF":
+        # SO2 gas + SO4 aerosol (in the carb group for deposition:
+        # reff = reffochl, sol = solso4; mod_che_start.F90:158-166)
+        return _mk(sim, ["SO2", "SO4"], ["so2", "carb"],
+                   [0.0, REFFHL], [0.0, RHOCARB_GROUP],
+                   [SOLSO2, SOLSO4], ioxclim=1)
+    if sim == "SUCA":
+        sp = _mk(sim, list(_CARB_NAMES) + ["SO2", "SO4"],
+                 ["carb"] * 4 + ["so2", "carb"],
+                 _CARB_DIAM + [0.0, REFFHL],
+                 [RHOCARB_GROUP] * 4 + [0.0, RHOCARB_GROUP],
+                 _CARB_SOL + [SOLSO2, SOLSO4], ioxclim=1)
+        sp.aging_pairs = [(1, 0), (3, 2)]
+        return sp
+    if sim == "AERO":
+        names, bed, bsz = _dust(4)
+        sp = _mk(sim,
+                 list(_CARB_NAMES) + ["SO2", "SO4"] + names
+                 + ["SSLT01", "SSLT02"],
+                 ["carb"] * 4 + ["so2", "carb"] + ["dust"] * 4
+                 + ["sslt"] * 2,
+                 _CARB_DIAM + [0.0, REFFHL] + list(bed)
+                 + list(SSLTBED),
+                 [RHOCARB_GROUP] * 4 + [0.0, RHOCARB_GROUP]
+                 + [RHODUST] * 4 + [RHOSSLT] * 2,
+                 _CARB_SOL + [SOLSO2, SOLSO4] + [SOLDUST] * 4
+                 + [SOLSSLT] * 2,
+                 bin_size=bsz, ioxclim=1)
+        sp.aging_pairs = [(1, 0), (3, 2)]
+        return sp
+    if sim == "POLLEN":
+        return _mk(sim, ["POLLEN"], ["pollen"], [REFFPOLLEN],
+                   [RHOPOLLEN], [SOLPOLLEN])
+    if sim == "CBMZ":
+        try:
+            from ._cbmz_mech_data import CBMZ_TRACERS, CBMZ_TRACER_SOL
+        except ImportError as e:
+            raise ValueError(
+                "chemsimtype='CBMZ' needs the generated mechanism "
+                f"tables (_cbmz_mech_data.py): {e}") from e
+        ntr = len(CBMZ_TRACERS)
+        kind = ["so2" if n == "SO2" else "gas" for n in CBMZ_TRACERS]
+        return _mk(sim, list(CBMZ_TRACERS), kind, [0.0] * ntr,
+                   [0.0] * ntr, list(CBMZ_TRACER_SOL), igaschem=1)
     raise ValueError(
         f"chemparam chemsimtype='{chemsimtype}' is not implemented in "
-        f"regcm_tpu (supported: {SUPPORTED_CHEMSIM}; gas-phase CBMZ/"
-        "CB6r2/ISORROPIA and SSLT/CARB/SULF aerosols are planned). "
-        "Refusing to run with silently-disabled chemistry.")
+        f"regcm_tpu (supported: {SUPPORTED_CHEMSIM}; DCCB needs the "
+        "ISORROPIA equilibrium port; MINE needs soil mineralogy "
+        "data). Refusing to run with silently-disabled chemistry.")

@@ -1,12 +1,15 @@
 """Chemistry tendency orchestration — the ``tractend2`` equivalent
-(``Main/chemlib/mod_che_tend.F90:63-583``) for the aerosol (dust)
-simulations.
+(``Main/chemlib/mod_che_tend.F90:63-583``).
 
 Called from inside PhysicsSuite at the reference's call site (tend →
 physical_parametrizations → tractend2): computes the surface-layer
 met fields (10 m wind, aerodynamic resistance), natural emission
-fluxes, settling/dry deposition and wet scavenging, and returns the
-coupled tracer tendency ``chiten`` plus accumulated diagnostics.
+fluxes (dust, sea salt, pollen), settling/dry deposition for aerosol
+tracers, gas dry deposition (Zhang 2003 resistances), wet scavenging,
+aqueous+gas sulfur chemistry, carbonaceous aging, and — for
+``igaschem`` sets — the CBMZ gas-phase solver on its ``dtchsolv``
+cadence.  Returns the coupled tracer tendency ``chiten`` plus
+accumulated diagnostics.
 
 Surface-layer simplifications follow the reference's own CLM45 branch
 (mod_che_tend.F90:253-291): temp10 from the lapse rate, rh10 from the
@@ -32,7 +35,7 @@ ZSNO = 0.00040     # snow roughness zsno
 
 
 class ChemTend:
-    """Dust-chemistry tendency operator bound to one grid/config."""
+    """Chemistry tendency operator bound to one grid/config."""
 
     def __init__(self, cfg, grid, spec: ChemSpec, dtype=None):
         self.cfg = cfg
@@ -47,6 +50,7 @@ class ChemTend:
         self.rdstemfac = float(ch.rdstemfac)
         f = (lambda x: jnp.asarray(x, dtype)) if dtype is not None \
             else (lambda x: jnp.asarray(x))
+        self.f = f
         # landuse class map (ivegcov: ocean/lake classes 14/15 → 0,
         # tractend2 :168-178)
         lveg = np.asarray(grid.extras.get(
@@ -65,27 +69,72 @@ class ChemTend:
         xmo = CXMOPOR[np.clip(iex - 1, 0, 11)]
         self.soilw_fac = f(1.0 / (CDEPUV * 1.0e-3 * 2650.0
                                   * np.maximum(1.0 - xmo, 1e-6)))
-        # texture fractions (dustsotex): fractional field from DOMAIN
-        # when present, else one-hot of the dominant texture class
         iy, jx = grid.iy, grid.jx
-        if "texfrac" in grid.extras:
-            tex = np.asarray(grid.extras["texfrac"])
-        else:
-            ltex = np.asarray(grid.extras.get(
-                "ltex", np.full((iy, jx), 6)), dtype=np.int32)
-            tex = np.zeros((12, iy, jx))
-            np.put_along_axis(tex, np.clip(ltex - 1, 0, 11)[None],
-                              1.0, axis=0)
-        emitmask = ((ivegcov == 8) | (ivegcov == 11)).astype(float)
-        self.dust = DustEmission(spec.bin_size, tex, emitmask,
-                                 ichdustemd=self.ichdustemd,
-                                 rdstemfac=self.rdstemfac, dtype=dtype)
-        self.bin_diam = f(spec.bin_diam)
-        self.rhop = f(spec.rhop)
-        self.sol = f(spec.sol)
+        # -- dust (only when dust tracers are active) ------------------
+        self.idust = spec.indices("dust")
+        self.dust = None
+        if self.idust:
+            # texture fractions (dustsotex): fractional field from
+            # DOMAIN when present, else one-hot dominant class
+            if "texfrac" in grid.extras:
+                tex = np.asarray(grid.extras["texfrac"])
+            else:
+                ltex = np.asarray(grid.extras.get(
+                    "ltex", np.full((iy, jx), 6)), dtype=np.int32)
+                tex = np.zeros((12, iy, jx))
+                np.put_along_axis(tex, np.clip(ltex - 1, 0, 11)[None],
+                                  1.0, axis=0)
+            emitmask = ((ivegcov == 8) | (ivegcov == 11)).astype(float)
+            self.dust = DustEmission(spec.bin_size, tex, emitmask,
+                                     ichdustemd=self.ichdustemd,
+                                     rdstemfac=self.rdstemfac,
+                                     dtype=dtype)
+        # -- sea salt --------------------------------------------------
+        self.isslt = spec.indices("sslt")
+        self.seasalt = None
+        if self.isslt:
+            from .seasalt import SeasaltEmission
+            self.seasalt = SeasaltEmission()
+        # -- pollen ----------------------------------------------------
+        self.ipollen = spec.indices("pollen")
+        # emission potential map (chemsrc): zero without a CHEMISS
+        # inventory file in this environment
+        self.pollen_src = f(np.asarray(grid.extras.get(
+            "pollen_src", np.zeros((iy, jx)))))
+        # -- sulfur ----------------------------------------------------
+        self.iso2 = spec.iso2
+        self.iso4 = spec.iso4
+        self.oxcl = None
+        if spec.ioxclim:
+            from .oxclim import load_oxidants, IOX_OH, IOX_H2O2
+            sig = np.asarray(grid.hsigma)
+            ox = load_oxidants(cfg, grid, sig)
+            self.oxcl = (f(ox[IOX_OH]), f(ox[IOX_H2O2]))
+        # -- gas dry deposition ----------------------------------------
+        from .drydep_gas import GAS_ROW
+        self.gasdep = [(i, n) for i, n in enumerate(spec.names)
+                       if spec.kind[i] in ("so2", "gas")
+                       and n in GAS_ROW]
+        # lcov for the gas scheme (water → class 14, >20 → 20)
+        lcov = np.where(ivegcov == 0, 14, np.minimum(ivegcov, 20))
+        self.lcov_gas = jnp.asarray(lcov, jnp.int32)
+        # -- per-tracer aerosol parameters -----------------------------
+        amask = spec.aerosol_mask
+        self.aer_mask = jnp.asarray(amask)
+        # safe (nonzero) diameters/densities for the dense aerosol
+        # deposition math; results masked to aerosol tracers only
+        self.bin_diam = f(np.where(amask, spec.bin_diam, 1.0))
+        self.rhop = f(np.where(amask, spec.rhop, 1000.0))
+        self.sol = f(np.where(amask, spec.sol, 0.0))
+        self.aging_pairs = list(spec.aging_pairs)
+        # -- CBMZ gas phase --------------------------------------------
+        self.cbmz = None
+        if spec.igaschem:
+            from .cbmz_driver import CbmzDriver
+            self.cbmz = CbmzDriver(cfg, grid, spec, dtype=dtype)
 
     def __call__(self, core, atms, s, cldfra_ls, cum_cldfra,
-                 remrat, rembc, conv_prate, dt
+                 remrat, rembc, conv_prate, dt, ls_prate=None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Returns (chiten coupled (ntr,kz,iy,jx), diag dict with
         emission/drydep/wetdep fluxes in kg/m²/s)."""
@@ -127,6 +176,9 @@ class ChemTend:
                 core.physics.bats_ss["rough"])
         else:
             scvk = jnp.zeros_like(psb)
+        # the reference zeroes snow for the gas-drydep scheme
+        # (drydep_gas :845 snow(:) = d_zero)
+        snow_mm = jnp.zeros_like(psb)
         vegfrac = lncl
         snowfrac = scvk
 
@@ -135,33 +187,70 @@ class ChemTend:
 
         chiten = jnp.zeros_like(chib)
         diag: Dict[str, jax.Array] = {}
+        emflx = jnp.zeros((self.ntr,) + psb.shape, chib.dtype)
+        sfc_fac = cpl / (dzq[kz - 1] * rho[kz - 1])
 
-        # -- dust emission (sfflux, mod_che_dust.F90:547) --------------
+        # -- natural emissions (sfflux equivalents) --------------------
         if self.ichsursrc:
-            rsfrow = self.dust(ustar, self.zeff, soilw, wid10,
-                               rho[kz - 1], vegfrac, snowfrac)
-            # kg/m²/s → coupled kg/kg/s·p* into the lowest layer
-            chiten = chiten.at[:, kz - 1].add(
-                rsfrow / (dzq[kz - 1] * rho[kz - 1])[None]
-                * cpl[None])
-            diag["emflx"] = rsfrow
+            if self.dust is not None:
+                rsfrow = self.dust(ustar, self.zeff, soilw, wid10,
+                                   rho[kz - 1], vegfrac, snowfrac)
+                for b, itr in enumerate(self.idust):
+                    chiten = chiten.at[itr, kz - 1].add(
+                        rsfrow[b] * sfc_fac)
+                    emflx = emflx.at[itr].add(rsfrow[b])
+            if self.seasalt is not None:
+                ss = self.seasalt(wid10, self.water.astype(chib.dtype))
+                for b, itr in enumerate(self.isslt):
+                    chiten = chiten.at[itr, kz - 1].add(ss[b] * sfc_fac)
+                    emflx = emflx.at[itr].add(ss[b])
+            if self.ipollen:
+                from .pollen import pollen_emission
+                tot_pr = conv_prate + (ls_prate
+                                       if ls_prate is not None else 0.0)
+                pe = pollen_emission(self.pollen_src, ustar, wid10,
+                                     rh10, tot_pr)
+                itr = self.ipollen[0]
+                chiten = chiten.at[itr, kz - 1].add(pe * sfc_fac)
+                emflx = emflx.at[itr].add(pe)
+            diag["emflx"] = emflx
 
-        # -- settling + dry deposition (drydep_aero) -------------------
+        # -- settling + dry deposition (aerosol tracers) ---------------
         if self.ichdrdepo:
             dd = drydep_aero(self.bin_diam, self.rhop, tb3, rho,
                              atms["pb3"], self.ivegcov, ustar, xra)
+            am = self.aer_mask[:, None, None, None]
+            pdepv = jnp.where(am, dd.pdepv, 0.0)
+            ddepv = jnp.where(am[:, 0], dd.ddepv, 0.0)
             st_ten, ddflx = settling_tend(
-                chib, cpl, dd.pdepv, dd.ddepv, dzq, rho,
+                chib, cpl, pdepv, ddepv, dzq, rho,
                 core.twt1, core.twt2, dt)
             chiten = chiten + st_ten
             diag["ddflx"] = ddflx
-            pdepv = dd.pdepv
+            # gas dry deposition (drydep_gas, Zhang 2003 resistances)
+            if self.gasdep:
+                from .drydep_gas import gas_drydep_velocity
+                vdg = gas_drydep_velocity(
+                    [n for _, n in self.gasdep], self.lcov_gas,
+                    atms.get("mpos", 6.5), ustar, xra,
+                    (conv_prate + (ls_prate if ls_prate is not None
+                                   else 0.0)) * 3600.0,
+                    snow_mm, srad, tsurf, temp10, rh10,
+                    atms.get("coszrs", jnp.zeros_like(psb)))
+                rdz = 1.0 / dzq[kz - 1]
+                for gi, (itr, _) in enumerate(self.gasdep):
+                    kd = vdg[gi] * rdz
+                    kav = jnp.maximum(chib[itr, kz - 1], 0.0) / dt
+                    ddrem = jnp.where(kd * dt < 25.0,
+                                      kav * (1.0 - jnp.exp(-kd * dt)),
+                                      0.0)
+                    chiten = chiten.at[itr, kz - 1].add(-ddrem)
         else:
             pdepv = jnp.zeros((self.ntr, kz) + psb.shape, chib.dtype)
 
-        # -- wet deposition (wetdepa) ----------------------------------
-        if self.ichremlsc or self.ichremcvc:
-            # cumulus bounds from the convective cloud fraction
+        # -- wet deposition (wetdepa; aerosol tracers only) ------------
+        kcumtop = jnp.full(psb.shape, -1, jnp.int32)
+        if self.ichremlsc or self.ichremcvc or self.iso2 is not None:
             has = cum_cldfra > 1e-3
             anyc = jnp.any(has, axis=0)
             kcumtop = jnp.where(
@@ -169,14 +258,45 @@ class ChemTend:
             kcumbot = jnp.where(
                 anyc, kz - 1 - jnp.argmax(
                     jnp.flip(has, 0).astype(jnp.int32), axis=0), -1)
-            wl = atms["qcb3"] * rho * 1000.0          # g/m³
+        wl = atms["qcb3"] * rho * 1000.0          # g/m³
+        if self.ichremlsc or self.ichremcvc:
             wt_ten, wflx = wetdep_tend(
                 chib, cpl, tb3, wl, cldfra_ls, cum_cldfra, remrat,
                 kcumtop, kcumbot, rembc, conv_prate, pdepv,
                 self.bin_diam, self.rhop, self.sol, dzq, rho, dt,
                 ichremlsc=self.ichremlsc, ichremcvc=self.ichremcvc)
-            chiten = chiten + wt_ten
+            am = self.aer_mask[:, None, None, None]
+            chiten = chiten + jnp.where(am, wt_ten, 0.0)
             diag["wdflx"] = wflx
+
+        # -- sulfur chemistry (chemsox) --------------------------------
+        if self.iso2 is not None and self.iso4 is not None \
+                and self.oxcl is not None:
+            from .sox import chemsox
+            rpsb = atms.get("rpsb")
+            unc = lambda a: a * rpsb if rpsb is not None else a
+            out = chemsox(unc(chib[self.iso2]), unc(chib[self.iso4]),
+                          rho, tb3,
+                          atms.get("coszrs", jnp.zeros_like(psb)),
+                          wl, cldfra_ls, cum_cldfra, kcumtop,
+                          rembc * 3600.0, self.oxcl[0], self.oxcl[1],
+                          dt)
+            chiten = chiten.at[self.iso2].add(out.so2_ten * cpl[None])
+            chiten = chiten.at[self.iso4].add(out.so4_ten * cpl[None])
+            diag["so2_wash"] = out.washout_so2
+
+        # -- carbonaceous aging (aging_carb) ---------------------------
+        if self.aging_pairs:
+            from .carbon import aging_tend
+            rpsb = atms.get("rpsb")
+            unc = chib * rpsb[None] if rpsb is not None else chib
+            at = aging_tend(unc, self.aging_pairs, dt)
+            chiten = chiten + at * cpl[None]
+
+        # -- CBMZ gas-phase solver (chemistry, on dtchsolv) ------------
+        if self.cbmz is not None:
+            chemten = self.cbmz(atms, s, chib, cpl, dt)
+            chiten = chiten + chemten
 
         return chiten * core.m_ci[None, None], diag
 

@@ -244,7 +244,10 @@ class Model:
             mu = jnp.asarray(_coszrs(self.date, self.grid.xlat,
                                      self.grid.xlon, decl=sol.declin),
                              self.dtype)
-        solar = jnp.asarray([sol.eccf, sol.solcon], self.dtype)
+        # third slot: fractional month position for LAI-type monthly
+        # climatology interpolation (mid-month nodes)
+        mpos = self.date.month + (self.date.day - 15) / 30.0
+        solar = jnp.asarray([sol.eccf, sol.solcon, mpos], self.dtype)
         self.state, diags = self._step_jit(
             self.state, self.bdy,
             jnp.asarray(self.xbctime, self.dtype),

@@ -468,6 +468,8 @@ class HydroCore:
             # per-day solar forcing from the driver (solar1 outputs):
             # eccentricity factor + TSI
             atms["eccf"], atms["solcon"] = solar[0], solar[1]
+            if solar.shape[0] > 2:
+                atms["mpos"] = solar[2]
 
         # -- new_pressure (mod_tendency.F90:1428-1460) -------------------
         if self.iboudy == 4:
@@ -1004,6 +1006,8 @@ class HydroCore:
                     omega_pa=omega, qdot=qdot, rpsb=rpsb, coszrs=coszrs)
         if solar is not None:
             atms["eccf"], atms["solcon"] = solar[0], solar[1]
+            if solar.shape[0] > 2:
+                atms["mpos"] = solar[2]
 
         # diffusion coefficients (NH variant, mod_diffusion idyn/=1)
         dudx = (shift(ubd3, 1, 1) + shift(ubd3, 0, 1) - shift(ubd3, 1, 0)

@@ -852,6 +852,8 @@ class MolochCore:
                 atms["coszrs"] = coszrs
             if solar is not None:
                 atms["eccf"], atms["solcon"] = solar[0], solar[1]
+                if solar.shape[0] > 2:
+                    atms["mpos"] = solar[2]
             s_now = st._replace(u=u, v=v, w=w, pai=pai, t=t, qx=qx)
             z3 = jnp.zeros_like(t)
             (tphy, qvphy, qhphy, uphy, vphy, cldfra, heatrt,

@@ -176,9 +176,12 @@ class PhysicsSuite:
         if cfg.physics.ichem:
             from ..chem.tend import build_chem
             self.chem = build_chem(cfg, grid)
-            if int(cfg.chem.idirect) >= 2:
+            ndust = len(self.chem.spec.indices("dust"))
+            if int(cfg.chem.idirect) >= 2 and \
+                    ndust == self.chem.ntr and ndust > 0:
                 # aerosol direct effect fed back into radiation
-                # (idirect=2; aeroppt tables for the external mixture)
+                # (idirect=2; aeroppt tables for the external dust
+                # mixture — mixed/gas sets await their optics tables)
                 from ..chem.optics import dust_optics_tables
                 self.aertab = dust_optics_tables(self.chem.ntr)
         # BATS1e land model (mod_bats_*, the reference's default land
@@ -982,7 +985,7 @@ class PhysicsSuite:
                 core, atms, s, fcc, cu["cldfra"],
                 mic_remrat if mic_remrat is not None else zero_r,
                 mic_strappt if mic_strappt is not None else zero_r,
-                cu["prate"] * m_ci, dt)
+                cu["prate"] * m_ci, dt, ls_prate=precip)
             # tracer vertical turbulent mixing: the holtbl chi
             # tridiagonal block (mod_pbl_holtbl.F90:985-1095) with the
             # scalar diffusion coefficients; drydepv=0 when

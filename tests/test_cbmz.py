@@ -1,0 +1,285 @@
+"""CBMZ gas-phase mechanism tests: rate-constant oracles vs the
+reference formulas, ODE function/Jacobian exactness, the box-model
+solver vs scipy BDF at tight tolerance, and the full-model CBMZ
+chemsimtype run.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regcm_tpu.chem import _cbmz_mech_data as M
+from regcm_tpu.chem.cbmz import fun, jac, integrate, NVAR
+
+NML = "/root/reference/Testing/test_011.in"
+needs_ref = pytest.mark.skipif(not os.path.exists(NML),
+                               reason="reference Testing corpus absent")
+
+_JNAMES = ["no2", "no3a", "hno2", "hno3", "hno4", "o33p", "o31d",
+           "h2o2", "ch2oa", "ch2ob", "ch3choa", "ch3coch3", "ch3ooh"]
+
+
+def _jv(day=True):
+    # representative midday clear-sky magnitudes
+    vals = dict(no2=8.0e-3, no3a=2.0e-2, hno2=1.8e-3, hno3=6.0e-7,
+                hno4=5.0e-6, o33p=4.4e-4, o31d=3.0e-5, h2o2=7.0e-6,
+                ch2oa=3.0e-5, ch2ob=4.5e-5, ch3choa=5.0e-6,
+                ch3coch3=5.0e-7, ch3ooh=5.5e-6)
+    if not day:
+        vals = {k: 0.0 for k in vals}
+    return vals
+
+
+def _box_state(ppb=None):
+    """Polluted-boundary-layer initial state, molec/cm³."""
+    Mair = 2.46e19
+    base = {"NO": 5.0, "NO2": 10.0, "O3": 50.0, "CO": 200.0,
+            "HCHO": 5.0, "CH4": 1800.0, "C2H6": 2.0, "SO2": 5.0,
+            "ISOP": 1.0, "PAR": 20.0, "ETH": 1.0, "OLET": 1.0,
+            "TOL": 1.0, "XYL": 0.5, "ALD2": 1.0, "H2O2": 1.0,
+            "HNO3": 1.0, "DMS": 0.1, "H2": 500.0}
+    if ppb:
+        base.update(ppb)
+    var = np.zeros(NVAR)
+    for k, v in base.items():
+        var[M.SPECIES.index(k)] = v * 1.0e-9 * Mair
+    # H2O at ~50% RH, 298 K
+    var[M.SPECIES.index("H2O")] = 3.9e17
+    fix = np.array([0.22 * Mair, 0.78 * Mair])
+    return var, fix, Mair
+
+
+def _np_fun(rconst):
+    """Pure-NumPy RHS from the extracted tables (independent of the
+    jax path) for the scipy reference integration."""
+    S = np.asarray(M.STOICH)
+    idx = np.asarray(M.REACT_IDX)
+
+    def f(t, y):
+        c = np.concatenate([y, f.fix, [1.0]])
+        a = rconst * c[idx[:, 0]] * c[idx[:, 1]] * c[idx[:, 2]]
+        return S @ a
+    return f
+
+
+class TestRates:
+    def test_rconst_oracle(self):
+        """Spot oracle: independent f64 evaluation of the reference
+        rate formulas (arr2/arr3/cbz1/cbz2/kdms,
+        mod_cbmz_rates.F90) vs the generated update_rconst."""
+        T, Mair = 288.0, 2.5e19
+        rc = np.asarray(M.update_rconst(np.float64(T), np.float64(Mair),
+                                        _jv()))
+        arr2 = lambda a, b: a * np.exp(b / T)
+        # rconst(17) = arr2(2.0e-12, -1400): O3+NO
+        np.testing.assert_allclose(rc[16], arr2(2.0e-12, -1400.0),
+                                   rtol=1e-12)
+        # rconst(28) = arr2(4.8e-11, 250): OH+HO2
+        np.testing.assert_allclose(rc[27], arr2(4.8e-11, 250.0),
+                                   rtol=1e-12)
+        # rconst(15) = arr3(9.0e-32, 2.0, 2.2e-11, 0.0): troe O3P+NO2
+        k1 = 9.0e-32 * Mair * (300.0 / T) ** 2.0
+        k2 = 2.2e-11
+        ex = 1.0 / (1.0 + np.log(k1 / k2) ** 2)
+        exp15 = (k2 * k1 * Mair) / (k2 + k1 * Mair) * 0.6 ** ex
+        np.testing.assert_allclose(rc[14], exp15, rtol=1e-12)
+        # rconst(26) = cbz1: OH+HNO3 composite
+        ka = 7.2e-15 * np.exp(785.0 / T)
+        kb = 1.9e-33 * np.exp(725.0 / T)
+        kc = 4.1e-16 * np.exp(1440.0 / T)
+        np.testing.assert_allclose(
+            rc[25], (ka + Mair * kb) / (1.0 + Mair * kb / kc),
+            rtol=1e-12)
+        # constants from the chemmain block
+        np.testing.assert_allclose(rc[10], 2.2e-10, rtol=1e-12)
+        np.testing.assert_allclose(rc[121], arr2(1.7e-13, 1300.0),
+                                   rtol=1e-12)
+        # photolysis pass-through
+        np.testing.assert_allclose(rc[0], 8.0e-3, rtol=1e-12)
+        np.testing.assert_allclose(rc[58], 9.64 * 3.0e-5, rtol=1e-12)
+
+    def test_stoichiometry_conserves_nitrogen(self):
+        """N-atom balance: Σ_i n_N(i)·S[i,r] = 0 for every reaction
+        (no nitrogen created/destroyed by the mechanism)."""
+        natoms = {"NO": 1, "NO2": 1, "NO3": 1, "N2O5": 2, "HNO2": 1,
+                  "HNO3": 1, "HNO4": 1, "PAN": 1, "ONIT": 1,
+                  "NAP": 1, "ISOPN": 1}
+        nvec = np.zeros(NVAR)
+        for k, v in natoms.items():
+            nvec[M.SPECIES.index(k)] = v
+        resid = nvec @ np.asarray(M.STOICH)
+        # reactions converting N into/out of the lumped organics are
+        # the known non-closures of the carbon-bond scheme; the pure
+        # inorganic NOx cycle must balance exactly
+        inorganic = [0, 1, 2, 3, 4, 13, 14, 15, 16, 17, 21, 22, 23,
+                     24, 25, 26, 31, 32, 33, 34, 35, 36, 37, 38, 39,
+                     41, 42]
+        np.testing.assert_allclose(resid[inorganic], 0.0, atol=1e-12)
+
+
+class TestFunJac:
+    def test_jacobian_exact(self):
+        """Analytic slot-scatter Jacobian equals jax.jacfwd of fun."""
+        var, fix, Mair = _box_state()
+        rc = np.asarray(M.update_rconst(np.float64(298.0),
+                                        np.float64(Mair), _jv()))
+        v = jnp.asarray(var)[None]
+        f = jnp.asarray(fix)[None]
+        r = jnp.asarray(rc)[None]
+        j_analytic = jac(v, f, r)[0]
+        j_ad = jax.jacfwd(lambda y: fun(y[None], f, r)[0])(
+            jnp.asarray(var))
+        np.testing.assert_allclose(np.asarray(j_analytic),
+                                   np.asarray(j_ad), rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_fun_matches_numpy(self):
+        var, fix, Mair = _box_state()
+        rc = np.asarray(M.update_rconst(np.float64(298.0),
+                                        np.float64(Mair), _jv()))
+        npf = _np_fun(rc)
+        npf.fix = fix
+        expect = npf(0.0, var)
+        got = np.asarray(fun(jnp.asarray(var)[None],
+                             jnp.asarray(fix)[None],
+                             jnp.asarray(rc)[None])[0])
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+class TestSolver:
+    def test_box_vs_scipy_bdf(self):
+        """900 s daytime box integration vs scipy BDF at rtol 1e-8:
+        the production config (rtol=atol=0.1, the reference chemmain
+        tolerances) agrees to <5% on every major species, a tighter
+        rtol=0.01 tier to <2%, and the error CONVERGES as the
+        tolerance shrinks — the solver-correctness oracle."""
+        from scipy.integrate import solve_ivp
+        var, fix, Mair = _box_state()
+        rc = np.asarray(M.update_rconst(np.float64(298.0),
+                                        np.float64(Mair), _jv()))
+        npf = _np_fun(rc)
+        npf.fix = fix
+        ref = solve_ivp(npf, (0.0, 900.0), var, method="BDF",
+                        rtol=1e-8, atol=1e-2).y[:, -1]
+        v0 = jnp.asarray(var)[None]
+        fx = jnp.asarray(fix)[None]
+        rcj = jnp.asarray(rc)[None]
+        loose = np.asarray(integrate(v0, fx, rcj, 900.0)[0])
+        tight = np.asarray(integrate(v0, fx, rcj, 900.0, rtol=0.01,
+                                     atol=1e3, max_steps=300)[0])
+        major = ["O3", "NO", "NO2", "CO", "HCHO", "SO2", "CH4",
+                 "PAN", "HNO3", "H2O2", "ISOP", "OH", "HO2"]
+        worst_l = worst_t = 0.0
+        for name in major:
+            i = M.SPECIES.index(name)
+            if ref[i] < 1e6:
+                continue
+            rl = abs(loose[i] - ref[i]) / ref[i]
+            rt = abs(tight[i] - ref[i]) / ref[i]
+            assert rl < 0.05, (name, loose[i], ref[i], rl)
+            assert rt < 0.02, (name, tight[i], ref[i], rt)
+            worst_l, worst_t = max(worst_l, rl), max(worst_t, rt)
+        assert worst_t < worst_l          # converging with tolerance
+
+    def test_daytime_photochemistry_direction(self):
+        """Physical sanity: daytime NO/NO2/O3 photostationary state
+        forms OH; night run leaves radicals ~zero and O3+NO titration
+        proceeds."""
+        var, fix, Mair = _box_state()
+        rc_d = np.asarray(M.update_rconst(np.float64(298.0),
+                                          np.float64(Mair), _jv()))
+        rc_n = np.asarray(M.update_rconst(np.float64(298.0),
+                                          np.float64(Mair),
+                                          _jv(day=False)))
+        v0 = jnp.asarray(var)[None]
+        fx = jnp.asarray(fix)[None]
+        day = np.asarray(integrate(v0, fx, jnp.asarray(rc_d)[None],
+                                   900.0)[0])
+        night = np.asarray(integrate(v0, fx, jnp.asarray(rc_n)[None],
+                                     900.0)[0])
+        ioh = M.SPECIES.index("OH")
+        ino = M.SPECIES.index("NO")
+        assert day[ioh] > 1e5                  # OH spun up (daytime)
+        assert night[ioh] < day[ioh] * 0.1
+        assert night[ino] < var[ino]           # NO titrated by O3
+        assert np.isfinite(day).all() and (day >= 0.0).all()
+
+    def test_batched_columns_independent(self):
+        """Two columns solved together equal the same columns solved
+        separately (masking/batching doesn't couple them)."""
+        var, fix, Mair = _box_state()
+        var2, _, _ = _box_state(ppb={"NO2": 40.0, "O3": 20.0})
+        rc = np.asarray(M.update_rconst(np.float64(288.0),
+                                        np.float64(Mair), _jv()))
+        fx = jnp.asarray(np.stack([fix, fix]))
+        rcj = jnp.asarray(np.stack([rc, rc]))
+        both = np.asarray(integrate(
+            jnp.asarray(np.stack([var, var2])), fx, rcj, 600.0))
+        one = np.asarray(integrate(jnp.asarray(var)[None], fx[:1],
+                                   rcj[:1], 600.0)[0])
+        np.testing.assert_allclose(both[0], one, rtol=1e-12)
+
+
+class TestJvalues:
+    def test_clearsky_magnitudes(self):
+        """MCM fits: overhead-sun jNO2 ~8e-3, jO1D ~3e-5; zero in the
+        dark; monotone with coszen."""
+        from regcm_tpu.chem.jvalues import clearsky_jvals
+        hi = clearsky_jvals(jnp.asarray([1.0]))
+        md = clearsky_jvals(jnp.asarray([0.5]))
+        dk = clearsky_jvals(jnp.asarray([0.0]))
+        assert 6e-3 < float(hi["no2"][0]) < 1.1e-2
+        assert 1.5e-5 < float(hi["o31d"][0]) < 6e-5
+        for k in hi:
+            assert float(dk[k][0]) == 0.0
+            assert float(hi[k][0]) > float(md[k][0]) > 0.0
+
+    def test_cloud_factor(self):
+        """Below a thick cloud J drops; clear sky factor ≈ 1."""
+        from regcm_tpu.chem.jvalues import cloud_factor
+        mu = jnp.asarray([0.8])
+        clear = float(cloud_factor(mu, jnp.asarray([0.0]),
+                                   jnp.asarray([0.0]))[0])
+        below = float(cloud_factor(mu, jnp.asarray([30.0]),
+                                   jnp.asarray([0.0]))[0])
+        assert abs(clear - 1.0) < 1e-6
+        assert below < 0.75
+
+
+@needs_ref
+class TestModelCBMZ:
+    def test_cbmz_model_runs(self):
+        """chemsimtype='CBMZ' (37 tracers) builds on the test_011
+        grid and runs steps with active photochemistry: seeded NOx +
+        VOC produce O3 change and stay finite/non-negative."""
+        from regcm_tpu.config.params import RegCMConfig
+        from regcm_tpu.core.grid import build_grid
+        from regcm_tpu.driver import Model
+        cfg = RegCMConfig.from_file(NML)
+        cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 10, 12, 14
+        cfg.chem.chemsimtype = "CBMZ"
+        cfg.restart.mdate1 = 1990060112       # midday photochemistry
+        grid = build_grid(cfg)
+        m = Model(cfg, grid=grid, dtype=jnp.float64)
+        spec = m.core.physics.chem.spec
+        io3 = spec.names.index("O3")
+        ino2 = spec.names.index("NO2")
+        ico = spec.names.index("CO")
+        chi = m.state.chi_b
+        ps = m.state.ps_b[None]
+        # seed ~50 ppb O3, 10 ppb NO2, 200 ppb CO as mass mixing ratio
+        mmr = lambda ppb, mw: ppb * 1e-9 * mw / 28.97
+        chi = chi.at[io3].set(mmr(50.0, 48.0) * ps)
+        chi = chi.at[ino2].set(mmr(10.0, 46.0) * ps)
+        chi = chi.at[ico].set(mmr(200.0, 28.0) * ps)
+        m.state = m.state._replace(chi_a=chi, chi_b=chi)
+        o3_0 = float(jnp.max(m.state.chi_a[io3]))
+        for _ in range(2):
+            m.step()
+        s = m.state
+        assert bool(jnp.isfinite(s.chi_a).all())
+        assert float(s.chi_a.min()) > -1e-12
+        # photochemistry active: NO2 photolyzed / O3 changed
+        assert float(jnp.max(jnp.abs(s.chi_a[io3]))) != o3_0

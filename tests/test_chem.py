@@ -29,10 +29,14 @@ def test_species_registry():
     assert s4.ntr == 4 and s4.names[0] == "DUST01"
     s12 = build_species("DU12")
     assert s12.ntr == 12
+    ss = build_species("SSLT")
+    assert ss.ntr == 2 and ss.kind == ["sslt", "sslt"]
+    su = build_species("SULF")
+    assert su.names == ["SO2", "SO4"] and su.ioxclim == 1
+    ae = build_species("AERO")
+    assert ae.ntr == 12 and ae.iso2 == 4 and ae.aging_pairs
     with pytest.raises(ValueError):
-        build_species("CBMZ")
-    with pytest.raises(ValueError):
-        build_species("SSLT")
+        build_species("DCCB")
 
 
 def test_dust_tables_normalized():
@@ -138,7 +142,7 @@ def test_dust_mass_budget_closed():
 def test_chem_refusals_loud():
     cfg = RegCMConfig.from_file(NML)
     cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 12, 16, 18
-    cfg.chem.chemsimtype = "CBMZ"
+    cfg.chem.chemsimtype = "MINE"      # soil mineralogy: unsupported
     with pytest.raises(ValueError, match="chemsimtype"):
         Model(cfg, dtype=jnp.float64)
     cfg.chem.chemsimtype = "DUST"
@@ -236,3 +240,155 @@ def test_chem_with_tiedtke_ctracer():
     for nm in ("chi_a", "chi_b", "t_a", "ps_a"):
         assert np.isfinite(np.asarray(getattr(m.state, nm))).all(), nm
     assert float(np.asarray(m.state.chi_b).min()) > -1e-10
+
+
+class TestAerosolSpecies:
+    """SSLT/CARB/SULF/POLLEN scheme physics (mod_che_seasalt/
+    carbonaer/sox/pollen ports)."""
+
+    def test_seasalt_emission_factors(self):
+        """Monahan/Gong integration: accumulation-bin mass factor far
+        smaller than coarse bin; flux scales as u^3.41 over ocean."""
+        from regcm_tpu.chem.seasalt import SeasaltEmission
+        se = SeasaltEmission()
+        macc, mcor = se.emfac_mass
+        assert 0.0 < macc < mcor
+        # published Monahan-integrated magnitudes: coarse-mode factor
+        # O(1e-13..1e-11) kg/m²/s per u^3.41 unit
+        assert 1e-15 < macc < 1e-11
+        assert 1e-14 < mcor < 1e-10
+        u = jnp.asarray([[5.0, 10.0]])
+        ocean = jnp.asarray([[1.0, 1.0]])
+        f = se(u, ocean)
+        ratio = float(f[1, 0, 1] / f[1, 0, 0])
+        np.testing.assert_allclose(ratio, 2.0 ** 3.41, rtol=1e-6)
+        # land points emit nothing
+        assert float(se(u, jnp.zeros_like(ocean)).max()) == 0.0
+
+    def test_so2_oh_rate_oracle(self):
+        """Troe-form SO2+OH rate vs an independent f64 NumPy
+        evaluation of the reference formula (rrate,
+        mod_che_sox.F90:395-407)."""
+        from regcm_tpu.chem.sox import so2_oh_rate
+        cair, temp = 2.5e19, 288.0
+        rkk = 3.0e-31 * cair * (temp / 300.0) ** (-3.3)
+        rki = 1.5e-12
+        expo = 1.0 / (1.0 + (np.log10(rkk / rki)) ** 2)
+        expect = (rkk * rki / (rkk + rki)) * 0.6 ** expo
+        got = float(so2_oh_rate(jnp.asarray(cair), jnp.asarray(temp)))
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+        # magnitude: ~1e-12 cm³/molec/s at surface conditions
+        assert 5e-13 < got < 5e-12
+
+    def test_chemsox_converts_so2_to_so4(self):
+        """Gas + aqueous pathways move SO2 → 1.5×SO4 (molar-mass
+        ratio); day faster than night."""
+        from regcm_tpu.chem.sox import chemsox
+        kz, iy, jx = 6, 2, 2
+        shp = (kz, iy, jx)
+        so2 = jnp.full(shp, 1e-9)
+        so4 = jnp.zeros(shp)
+        rho = jnp.full(shp, 1.0)
+        temp = jnp.full(shp, 285.0)
+        wl = jnp.zeros(shp).at[4].set(0.3)        # LS cloud layer
+        fcc = jnp.zeros(shp).at[4].set(0.5)
+        fracum = jnp.zeros(shp)
+        kcumtop = jnp.full((iy, jx), -1, jnp.int32)
+        rembc = jnp.zeros(shp)
+        oh = jnp.full(shp, 2e6)
+        h2o2 = jnp.full(shp, 1e-9)
+        day = jnp.ones((iy, jx))
+        night = jnp.zeros((iy, jx))
+        out_d = chemsox(so2, so4, rho, temp, day, wl, fcc, fracum,
+                        kcumtop, rembc, oh, h2o2, 600.0)
+        out_n = chemsox(so2, so4, rho, temp, night, wl, fcc, fracum,
+                        kcumtop, rembc, oh, h2o2, 600.0)
+        # gas pathway: sink of SO2, 1.5× source of SO4 (clear layer 0)
+        assert float(out_d.so2_ten[0, 0, 0]) < 0.0
+        np.testing.assert_allclose(
+            float(out_d.so4_ten[0, 0, 0]),
+            -1.5 * float(out_d.so2_ten[0, 0, 0]), rtol=1e-12)
+        # daytime OH 199x night
+        assert float(-out_d.so2_ten[0, 0, 0]) > \
+            50.0 * float(-out_n.so2_ten[0, 0, 0])
+        # aqueous layer converts much faster than the gas layer
+        assert float(-out_d.so2_ten[4, 0, 0]) > \
+            5.0 * float(-out_d.so2_ten[0, 0, 0])
+
+    def test_carbon_aging_conserves_mass(self):
+        from regcm_tpu.chem.carbon import aging_tend
+        chi = jnp.zeros((4, 3, 2, 2)).at[1].set(1e-8).at[3].set(2e-8)
+        ten = aging_tend(chi, [(1, 0), (3, 2)], 600.0)
+        total = float(jnp.abs(ten.sum(axis=0)).max())
+        assert total < 1e-22          # pairwise exchange conserves
+        assert float(ten[1].min()) < 0.0 < float(ten[0].max())
+        # e-folding magnitude: dt/tau of the store per unit time
+        expect = 1e-8 * (1 - np.exp(-600.0 / (1.15 * 86400.0))) / 600.0
+        np.testing.assert_allclose(-float(ten[1][0, 0, 0]), expect,
+                                   rtol=1e-10)
+
+    def test_gas_drydep_velocity_magnitudes(self):
+        """Zhang-scheme vd for SO2/O3/HNO3: HNO3 fastest (sticky),
+        all within the observed 0.01-5 cm/s range over vegetation."""
+        from regcm_tpu.chem.drydep_gas import gas_drydep_velocity
+        iy, jx = 3, 3
+        lcov = jnp.full((iy, jx), 6, jnp.int32)   # forest class
+        ustar = jnp.full((iy, jx), 0.4)
+        resa = jnp.full((iy, jx), 30.0)
+        met = dict(prec=jnp.zeros((iy, jx)),
+                   snow=jnp.zeros((iy, jx)),
+                   srad=jnp.full((iy, jx), 500.0),
+                   ts=jnp.full((iy, jx), 295.0),
+                   t2=jnp.full((iy, jx), 293.0),
+                   rh=jnp.full((iy, jx), 0.6),
+                   coszen=jnp.full((iy, jx), 0.7))
+        vd = gas_drydep_velocity(["SO2", "O3", "HNO3"], lcov, 6.5,
+                                 ustar, resa, **met)
+        v = np.asarray(vd)[:, 0, 0] * 100.0     # cm/s
+        assert np.isfinite(v).all()
+        assert (v > 0.01).all() and (v < 5.0).all()
+        assert v[2] > v[0] and v[2] > v[1]      # HNO3 fastest
+
+    def test_sulf_model_runs(self):
+        """test_011 (SULF) builds from its exact namelist and produces
+        SO4 from seeded SO2 over a short run."""
+        cfg = RegCMConfig.from_file(
+            "/root/reference/Testing/test_011.in")
+        cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 16, 14
+        grid = build_grid(cfg)
+        m = Model(cfg, grid=grid, dtype=jnp.float64)
+        chi = m.state.chi_b.at[0].set(1e-9 * m.state.ps_b[None])
+        m.state = m.state._replace(chi_b=chi, chi_a=chi)
+        for _ in range(3):
+            m.step()
+        s = m.state
+        assert bool(jnp.isfinite(s.chi_a).all())
+        assert float(jnp.max(s.chi_a[1])) > 0.0       # SO4 produced
+        assert float(jnp.max(s.chi_a[0])) < 1.05e-9 * float(
+            jnp.max(s.ps_a))                          # SO2 not growing
+
+    def test_aero_model_builds(self):
+        """The full AERO mix (12 tracers: carb+SO2/SO4+dust+sslt)
+        builds and steps with all pathways active."""
+        cfg = RegCMConfig.from_file(NML)
+        cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 12, 14, 14
+        cfg.chem.chemsimtype = "AERO"
+        grid = build_grid(cfg)
+        # half desert (dust source), half ocean (sea-salt source) —
+        # the reduced test_008 window can be all-land
+        lveg = np.full((12, 14), 8)
+        lveg[:, 7:] = 15
+        grid.extras["lveg"] = lveg
+        m = Model(cfg, grid=grid, dtype=jnp.float64)
+        from regcm_tpu.dynamics.stencil import cross2dot
+        psd = cross2dot(m.state.ps_a)
+        u = 12.0 * psd[None] * jnp.ones_like(m.state.u_a)
+        m.state = m.state._replace(u_a=u, u_b=u)
+        m.step()
+        m.step()
+        assert bool(jnp.isfinite(m.state.chi_a).all())
+        assert m.state.chi_a.shape[0] == 12
+        # sea salt emitted over ocean, dust over desert
+        burden = np.asarray(m.state.chi_a).sum((1, 2, 3))
+        assert burden[10] + burden[11] > 0.0          # SSLT bins
+        assert burden[6] + burden[7] > 0.0            # DUST bins

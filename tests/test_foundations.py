@@ -190,15 +190,12 @@ def test_testing_corpus_runability_matrix():
             built.append(name)
         except ValueError as e:
             refused.append((name, str(e)))
-    # DUST chemistry (test_008) now builds; the gas-phase cases
-    # (CBMZ, test_011/013) must refuse loudly until their solvers land
-    refused_names = {n for n, _ in refused}
+    # full corpus: DUST (test_008) and the SULF oxidant-climatology
+    # cases (test_011/013) all build — 16/16, zero refusals
     assert "test_008.in" in built, "DUST case must build (ichem=1)"
     for chem in ("test_011.in", "test_013.in"):
-        assert chem in refused_names, \
-            f"{chem} should refuse (gas-phase chemistry)"
+        assert chem in built, f"{chem} should build (SULF chemistry)"
     for n, msg in refused:
         assert "not" in msg and len(msg) > 20, \
             f"{n} refused without a clear message: {msg}"
-    # every other case builds with its exact scheme set
-    assert len(built) == 14, (built, refused)
+    assert len(built) == 16 and not refused, (built, refused)
