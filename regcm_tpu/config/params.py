@@ -249,6 +249,21 @@ class SubexParam:
 
 
 @dataclass
+class KFParamNL:
+    """&kfparam (Main/mod_params.F90:151-153; defaults :463-471)."""
+    kf_min_pef: float = 0.2
+    kf_max_pef: float = 0.9
+    kf_entrate: float = 0.03
+    kf_dpp: float = 150.0
+    kf_min_dtcape: float = 1800.0
+    kf_max_dtcape: float = 3600.0
+    kf_tkemax: float = 5.0
+    kf_convrate: float = 0.03
+    kf_wthreshold: float = 0.02
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
 class DebugParam:
     debug_level: int = 0
     dbgfrq: float = 3.0
@@ -331,6 +346,7 @@ class RegCMConfig:
     globdat: GlobdatParam = field(default_factory=GlobdatParam)
     slaboc: SlabOceanParam = field(default_factory=SlabOceanParam)
     chem: ChemParam = field(default_factory=ChemParam)
+    kf: KFParamNL = field(default_factory=KFParamNL)
     raw: Dict[str, Dict[str, Any]] = field(default_factory=dict)
 
     _GROUP_MAP = {
@@ -352,6 +368,7 @@ class RegCMConfig:
         "globdatparam": ("globdat", GlobdatParam),
         "slabocparam": ("slaboc", SlabOceanParam),
         "chemparam": ("chem", ChemParam),
+        "kfparam": ("kf", KFParamNL),
     }
 
     @classmethod

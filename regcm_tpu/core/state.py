@@ -83,6 +83,9 @@ class HydroState(NamedTuple):
     #  qdetr] (uncoupled; the last three are Tiedtke detrainment)
     cuten: jax.Array
     cuprate: jax.Array   # held convective precip rate (kg/m²/s)
+    # running-mean vertical velocity for the Kain-Fritsch trigger
+    # (avg_ww, Main/mod_cu_interface.F90:256-268), (kz, iy, jx)
+    wavg: jax.Array
     # turbulence state: UW TCM prognostic TKE on kz+1 interfaces
     # (atmstate%tke, advected/diffused/RAW-filtered when ibltyp=2,
     # mod_tendency.F90:518-544); MYJ (ibltyp=4) stores its per-layer
@@ -170,7 +173,7 @@ def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,
         # BM efinit: avgefi everywhere (mod_cu_bm.F90:229-236)
         cldefi=jnp.full((iy, jx), 0.6, dtype),
         cuten=jnp.zeros((9, kz, iy, jx), dtype),
-        cuprate=z2,
+        cuprate=z2, wavg=z3,
         tke_a=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
         tke_b=jnp.full((kz + 1, iy, jx), 1.0e-3, dtype),
         pbl0=jnp.zeros((2, iy, jx), dtype),

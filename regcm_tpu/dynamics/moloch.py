@@ -94,6 +94,7 @@ class MolochState(NamedTuple):
     cldefi: jax.Array    # Betts-Miller cloud efficiency memory
     cuten: jax.Array     # held cumulus tendencies (9, kz, iy, jx)
     cuprate: jax.Array   # held convective precip rate
+    wavg: jax.Array      # KF trigger running-mean w (avg_ww)
     # full surface/physics pack, same layouts as HydroState (MOLOCH
     # surface parity: BATS1e/lake/ice run the same schemes here —
     # mod_moloch.F90:1386 calls the identical surface_model stack)
@@ -146,7 +147,7 @@ def zeros_moloch_phys(kz: int, iy: int, jx: int, dtype=jnp.float64,
                 uvdrag=z2, swsfc=z2, lwsfc=z2, cbmf=z2,
                 cldefi=jnp.full((iy, jx), 0.6, dtype),
                 cuten=jnp.zeros((9, kz, iy, jx), dtype),
-                cuprate=z2,
+                cuprate=z2, wavg=z3,
                 bats=jnp.zeros((10, iy, jx), dtype),
                 seaice=jnp.zeros((4, iy, jx), dtype),
                 dcsst=jnp.zeros((3, iy, jx), dtype),

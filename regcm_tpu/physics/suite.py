@@ -28,7 +28,7 @@ from ..dynamics.stencil import cross2dot
 # (Main/mod_params.F90) — an unimplemented selector must be a hard error
 # at model build, never a silent no-op.
 SUPPORTED = dict(
-    icup={0, 1, 2, 3, 4, 5},       # Kuo/Grell/BM/Emanuel/Tiedtke (6 planned)
+    icup={0, 1, 2, 3, 4, 5, 6},    # Kuo/Grell/BM/Emanuel/Tiedtke/KF
     ibltyp={0, 1, 2, 3, 4},        # Holtslag / UW TCM / GFS / MYJ
     ipptls={0, 1, 2, 3},           # SUBEX / nogtom / WSM5
     iocnflx={1, 2, 3},             # BATS / Zeng / COARE
@@ -130,6 +130,28 @@ class PhysicsSuite:
         # (mod_tendency.F90:316, shallcu has no land/ocean gating)
         self.shallow = (cfg.physics.icup_lnd < 0
                         or cfg.physics.icup_ocn < 0)
+        # Kain-Fritsch (icup=6): config-time saturation-point tables
+        # + namelist parameters; the trigger needs the running-mean w
+        # held in state (wavg, updated every step below)
+        self.uses_kf = 6 in (self.icup_lnd, self.icup_ocn)
+        if self.uses_kf:
+            from .cumulus.kain_fritsch import KFTables, KFParams
+            kfn = cfg.kf
+            cld = cfg.raw.get("cldparam", {}) if cfg.raw else {}
+            self._kf_tab = KFTables.build(cfg.ptop_cb * 1000.0)
+            self._kf_par = KFParams(
+                entrate=float(kfn.kf_entrate),
+                convrate=float(kfn.kf_convrate),
+                min_pef=float(kfn.kf_min_pef),
+                max_pef=float(kfn.kf_max_pef),
+                dpp=float(kfn.kf_dpp),
+                min_dtcape=float(kfn.kf_min_dtcape),
+                max_dtcape=float(kfn.kf_max_dtcape),
+                tkemax=float(kfn.kf_tkemax),
+                wthreshold=float(kfn.kf_wthreshold),
+                k2_const=float(cld.get("k2_const", 500.0)),
+                kfac_shal=float(cld.get("kfac_shal", 0.07)),
+                kfac_deep=float(cld.get("kfac_deep", 0.14)))
         if 1 in (self.icup_lnd, self.icup_ocn):
             from .cumulus.kuo import build_kuo_tables
             import numpy as _np
@@ -450,6 +472,42 @@ class PhysicsSuite:
             # stash the tracer-transport interface for the chem hook
             # (ctracer runs inside the scheme on alarm steps only)
             res["_tdk"] = out
+        elif icup == 6:
+            # Kain-Fritsch (kfdrv/kfpara, Main/cumlib/mod_cu_kf.F90):
+            # bottom-up column layout; the trigger reads the running-
+            # mean w carried in state (avg_ww). ipptls>1 feeds back
+            # mixed-phase hydrometeors (f_qi); the qr/qs tendencies
+            # ride the qcten/qiten slots of the 9-slot cuten pack
+            # (documented deviation — the micro autoconverts them).
+            from .cumulus.kain_fritsch import kfpara
+            qhb3 = atms["qhb3"]
+            f_qi = self.cfg.physics.ipptls > 1
+            ql0 = flipc(atms["qcb3"])
+            qi0 = flipc(qhb3[2]) if (f_qi and core.nqx == 5) \
+                else jnp.zeros_like(ql0)
+            if self.cfg.physics.ibltyp == 2:
+                tkei = s.tke_b
+                tkec = 0.5 * (tkei[:-1] + tkei[1:])
+            else:
+                tkec = jnp.full_like(tb3, self._kf_par.tkemax)
+            wavg = atms.get("_wavg", s.wavg)
+            out = kfpara(
+                self._kf_tab, self._kf_par, flipc(tb3), flipc(qvb3),
+                flipc(atms["ubx3"]), flipc(atms["vbx3"]),
+                flipc(atms["za"]), flipc(pb3), flipc(rho),
+                flipc(atms["dzq"]), flipc(wavg), flipc(tkec),
+                ql0, qi0, float(core.dtsec), float(self.cfg.ds_m),
+                f_qi=f_qi)
+            qcten = unflip(out.dqcdt + out.dqrdt)
+            qiten = unflip(out.dqidt + out.dqsdt)
+            cldfra = unflip(out.cldfra)
+            res.update(
+                tten=unflip(out.dtdt), qvten=unflip(out.dqdt),
+                prate=out.prate.reshape(iy, jx),
+                cldfra=cldfra,
+                cldlwc=jnp.where(cldfra > 0.0, 0.3e-3 * 1000.0 * rho,
+                                 0.0),
+                qcten=qcten, qiten=qiten)
         else:
             raise ValueError(f"icup={icup} not implemented")
         return res
@@ -495,6 +553,15 @@ class PhysicsSuite:
         # mod_cu_interface.F90:288) and its tendencies persist in state
         # between calls; Kuo bypasses the alarm (deferred qv-vadv
         # contract needs the flow every step).
+        if self.uses_kf:
+            # running-mean w for the KF trigger, updated EVERY step
+            # (avg_ww, mod_cu_interface.F90:256-268): weight
+            # 1/max(int(max(dtcum,3600)/dt),1); w from -ω/(ρg)
+            w1 = 1.0 / max(int(max(self.cfg.time.dtcum, 3600.0)
+                               / core.dtsec), 1)
+            w_now = -atms["omega_pa"] / (atms["rhob3"] * c.egrav)
+            sfupd["wavg"] = (1.0 - w1) * s.wavg + w1 * w_now
+            atms["_wavg"] = sfupd["wavg"]
         if self.kuo_defer or flags.do_cum:
             cu = self._cumulus(core, atms, s, flags, dyn, dt)
             if not self.kuo_defer:
