@@ -473,6 +473,8 @@ class Model:
             self.streams.write_rad()
             self.streams.write_lak()
             self.streams.write_che()
+            self.streams.write_opt()
+            self.streams.write_slaboc()
         for n in range(nsteps):
             self.step()
             self.streams.sts_accumulate()
@@ -486,6 +488,9 @@ class Model:
                 self.streams.write_rad()
             if self.nstep % che_every == 0:
                 self.streams.write_che()
+                self.streams.write_opt()
+            if self.nstep % srf_every == 0:
+                self.streams.write_slaboc()
 
     # observability helpers
     def check_finite(self) -> bool:

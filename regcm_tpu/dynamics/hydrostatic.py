@@ -80,13 +80,17 @@ class HydroCore:
         self.dx = float(g.ds)
         self.dtsec = cfg.dtsec
         self.ipgf = int(cfg.physics.ipgf)
-        # upstream-weighted scalar advection (the reference FORCES
-        # upstream_mode=.true. for idynamic<3, mod_params.F90:646;
-        # regcm_tpu keeps centered as its validated default and makes
-        # the upstream weighting selectable — documented deviation)
-        self.upstream_mode = bool(cfg.physics.extras.get(
-            "upstream_mode", False))
-        uoffc = float(cfg.physics.extras.get("uoffc", 0.25))
+        # upstream-weighted scalar advection + local-extrema guard:
+        # the reference FORCES upstream_mode = stability_enhance =
+        # .true. for idynamic<3 (mod_params.F90:645-661) — same
+        # defaults here (dynparam/extras can override)
+        ex = cfg.physics.extras
+        self.upstream_mode = bool(ex.get("upstream_mode", True))
+        self.stability_enhance = bool(ex.get("stability_enhance",
+                                             True))
+        self.t_extrema = float(ex.get("t_extrema", 5.0))
+        self.q_rel_extrema = float(ex.get("q_rel_extrema", 0.20))
+        uoffc = float(ex.get("uoffc", 0.25))
         self.ul_adv = uoffc * 0.5 * cfg.dtsec / self.dx
         self.idiffu = int(getattr(cfg.physics, "idiffu", 1))
         if self.idiffu not in (1, 2):
@@ -299,6 +303,34 @@ class HydroCore:
             fy2 = fdec + gp
         return -self.xmapf * (uavg2 * fx2 - uavg1 * fx1
                               + vavg2 * fy2 - vavg1 * fy1) * self.m_ci
+
+    def _stability_guard(self, fg, fcoup, ps, mode):
+        """Instability correction (stability_enhance,
+        Main/mod_advection.F90:354-387 for T with the absolute
+        t_extrema/ps test, :565-597 for qx with the relative
+        q_rel_extrema test): local extrema whose second difference
+        exceeds the threshold must not grow further — clamp the hadv
+        tendency sign at local maxima/minima, per direction."""
+        if not self.stability_enhance:
+            return fg
+        interior = self.m_ci > 0.5
+        for dy, dx in ((0, 1), (1, 0)):
+            fp = shift(fcoup, dy, dx)
+            fm = shift(fcoup, -dy, -dx)
+            sec = jnp.abs(fp + fm - 2.0 * fcoup)
+            if mode == "abs":
+                exceed = sec / ps[None] > self.t_extrema
+            else:
+                exceed = sec / jnp.maximum(fcoup, 1e-30) \
+                    > self.q_rel_extrema
+            # interior cross points only (the reference's jci/ici loop
+            # bounds; shift() boundary fill must not fake an extremum)
+            exceed = exceed & interior
+            locmax = (fcoup > fp) & (fcoup > fm)
+            locmin = (fcoup < fp) & (fcoup < fm)
+            fg = jnp.where(exceed & locmax, jnp.minimum(fg, 0.0), fg)
+            fg = jnp.where(exceed & locmin, jnp.maximum(fg, 0.0), fg)
+        return fg
 
     def _tke_dyn(self, s, qdot, uavg1, uavg2, vavg1, vavg2, psa, xkc):
         """UW TKE dynamics tendency (coupled, on kz+1 interfaces):
@@ -519,6 +551,7 @@ class HydroCore:
             tha = th * psa[None]
             thten = self._hadv_scalar(th, uavg1, uavg2, vavg1, vavg2,
                                       ps=psa)
+            thten = self._stability_guard(thten, tha, psa, "abs")
             # vadv3d ind=0 nk=kz on tha: interface flux at k=1..kz-1
             fth = qdot[1:kz] * (self.twt1[1:] * tha[1:]
                                 + self.twt2[1:] * tha[:-1])
@@ -529,6 +562,8 @@ class HydroCore:
             # (mod_advection.F90:730-790)
             tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2,
                                       ps=psa)
+            tdyn0 = self._stability_guard(tdyn0, tdec * psa[None],
+                                          psa, "abs")
             pfs = (self.sig3 * psa[None] + ptop) * 1000.0   # (kz+1)
             phs = (self.hsig3 * psa[None] + ptop) * 1000.0
             ta = s.t_a
@@ -554,6 +589,7 @@ class HydroCore:
         else:
             qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1,
                                        vavg2, ps=psa)
+            qvhadv = self._stability_guard(qvhadv, qvdec, psa, "rel")
         qva = s.qx_a[IQV]
         ok = ((qva[1:] > c.minqq * psa[None])
               & (qva[:-1] > c.minqq * psa[None]))
@@ -572,6 +608,7 @@ class HydroCore:
         else:
             qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1,
                                       vavg2, ps=psa)
+            qhten = self._stability_guard(qhten, qhdec, psa, "rel")
         qha = s.qx_a[1:]
         fi = (self.twt1[1:] * qha[:, 1:]
               + self.twt2[1:] * qha[:, :-1])
@@ -1041,6 +1078,8 @@ class HydroCore:
         # T advection (ithadv=0 NH: exner-weighted interfaces on p0)
         tdyn0 = self._hadv_scalar(tdec, uavg1, uavg2, vavg1, vavg2,
                                   ps=psa)
+        tdyn0 = self._stability_guard(tdyn0, tdec * psa[None], psa,
+                                      "abs")
         ta = s.t_a
         rdphf = base.pr0 ** (-c.c287)
         rdplf = base.pf0[1:kz] ** c.c287
@@ -1052,6 +1091,7 @@ class HydroCore:
         # step())
         qvhadv = self._hadv_scalar(qvdec, uavg1, uavg2, vavg1, vavg2,
                                    ps=psa)
+        qvhadv = self._stability_guard(qvhadv, qvdec, psa, "rel")
         qva = s.qx_a[IQV]
         ok = ((qva[1:] > c.minqq * psa[None])
               & (qva[:-1] > c.minqq * psa[None]))
@@ -1064,6 +1104,7 @@ class HydroCore:
         qvten = qvhadv if kuo_defer else qvhadv + qv_vadv
         qhten = self._hadv_scalar(qhdec, uavg1, uavg2, vavg1, vavg2,
                                   ps=psa)
+        qhten = self._stability_guard(qhten, qhdec, psa, "rel")
         qha = s.qx_a[1:]
         fi = (self.twt1[1:] * qha[:, 1:]
               + self.twt2[1:] * qha[:, :-1])

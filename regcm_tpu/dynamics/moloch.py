@@ -179,6 +179,10 @@ class MolochCore:
         self.dx = float(g.ds)
         self.dtsec = cfg.dtsec
         self.nadv = cfg.moloch.mo_nadv
+        # Pallas hot-path kernels on TPU (extras pallas=0 opts out)
+        from .pallas_kernels import tpu_available
+        self.use_pallas = bool(int(cfg.physics.extras.get(
+            "pallas", 1))) and tpu_available()
         self.nsound = cfg.moloch.mo_nsound
         self.a0 = cfg.moloch.mo_a0
         self.b0 = cfg.moloch.mo_b0
@@ -527,28 +531,36 @@ class MolochCore:
                 + self.ffilt[1:kz, None, None]
 
             w_old = w
-            # upward sweep: K = kz-1 .. 1 (0-based interfaces)
-            def up_body(carry, K):
-                w_kp1, wwkw_kp1 = carry
-                i = K - 1                       # index into (kz-1) arrays
-                zrapp = 1.0 / (1.0 + zm[i] + zp[i] - zm[i] * wwkw_kp1)
-                w_k = zrapp * (wexpl[i] + zm[i] * w_kp1)
-                wwkw_k = zrapp * zp[i]
-                return (w_k, wwkw_k), (w_k, wwkw_k)
+            if self.use_pallas:
+                # fused up/down Thomas sweeps with the column in VMEM
+                # (pallas_kernels.tridiag_w) — one HBM round trip
+                # instead of the two scans' operand materializations
+                from .pallas_kernels import tridiag_w
+                w_new_int = tridiag_w(wexpl, zm, zp, w[kz])
+            else:
+                # upward sweep: K = kz-1 .. 1 (0-based interfaces)
+                def up_body(carry, K):
+                    w_kp1, wwkw_kp1 = carry
+                    i = K - 1                   # index into (kz-1) arrays
+                    zrapp = 1.0 / (1.0 + zm[i] + zp[i]
+                                   - zm[i] * wwkw_kp1)
+                    w_k = zrapp * (wexpl[i] + zm[i] * w_kp1)
+                    wwkw_k = zrapp * zp[i]
+                    return (w_k, wwkw_k), (w_k, wwkw_k)
 
-            init = (w[kz], jnp.zeros_like(w[kz]))
-            _, (w_prov_r, wwkw_r) = jax.lax.scan(
-                up_body, init, jnp.arange(kz - 1, 0, -1))
-            w_prov = jnp.flip(w_prov_r, axis=0)   # interfaces 1..kz-1
-            wwkw = jnp.flip(wwkw_r, axis=0)
+                init = (w[kz], jnp.zeros_like(w[kz]))
+                _, (w_prov_r, wwkw_r) = jax.lax.scan(
+                    up_body, init, jnp.arange(kz - 1, 0, -1))
+                w_prov = jnp.flip(w_prov_r, axis=0)  # ifaces 1..kz-1
+                wwkw = jnp.flip(wwkw_r, axis=0)
 
-            # downward sweep: w[K] += wwkw[K]·w[K-1], w[0]=0
-            def dn_body(w_km1, i):
-                w_k = w_prov[i] + wwkw[i] * w_km1
-                return w_k, w_k
+                # downward sweep: w[K] += wwkw[K]·w[K-1], w[0]=0
+                def dn_body(w_km1, i):
+                    w_k = w_prov[i] + wwkw[i] * w_km1
+                    return w_k, w_k
 
-            _, w_new_int = jax.lax.scan(
-                dn_body, jnp.zeros_like(w[0]), jnp.arange(kz - 1))
+                _, w_new_int = jax.lax.scan(
+                    dn_body, jnp.zeros_like(w[0]), jnp.arange(kz - 1))
             w = jnp.concatenate(
                 [jnp.zeros_like(w[:1]), w_new_int, w[kz:]], axis=0)
             deltaw = w - w_old

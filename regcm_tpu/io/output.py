@@ -234,6 +234,34 @@ class OutputStreams:
         else:
             self.sub = None
 
+        # OPT stream: aerosol optical properties (opt stream id,
+        # Main/mpplib/mod_ncout.F90:143-152, aext8/aod at the visible
+        # band) — active when the aerosol direct effect is wired
+        self.aertab = getattr(model.core.physics, "aertab", None) \
+            if model.core.physics is not None else None
+        if self.ntr and self.aertab is not None:
+            self.opt = mk("OPT")
+            tv(self.opt, "aext8", ("kz", "iy", "jx"), "m-1",
+               "Aerosol extinction coefficient (visible)")
+            tv(self.opt, "aod", ("iy", "jx"), "1",
+               "Aerosol column optical depth (visible)",
+               "atmosphere_optical_thickness_due_to_ambient_aerosol"
+               "_particles")
+        else:
+            self.opt = None
+
+        # SLABOC stream: slab-ocean prognostic SST + restoring q-flux
+        # (slaboc stream id; mod_slabocean.F90 diagnostics)
+        if model.cfg.physics.islab_ocean == 1:
+            self.slaboc = mk("SLABOC")
+            tv(self.slaboc, "sst", ("iy", "jx"), "K",
+               "Slab-ocean prognostic SST",
+               "sea_surface_temperature")
+            tv(self.slaboc, "qflx_restore", ("iy", "jx"), "W m-2",
+               "SST restoring heat flux")
+        else:
+            self.slaboc = None
+
         self._last_rain = 0.0
         self._last_rainc = 0.0
         self._sts_reset()
@@ -423,6 +451,69 @@ class OutputStreams:
         rec["wdflx_acc"] = cut(np.asarray(s.chemdiag[2]))
         self.che.write_record(_hours_since_epoch(m.date), rec)
 
+    def write_opt(self):
+        """OPT record: visible-band extinction profile + column AOD
+        from the aerosol mixture optics (mod_rad_aerosol aeroppt →
+        opt stream)."""
+        if self.opt is None:
+            return
+        import jax.numpy as jnp
+        from ..chem.optics import sw_aerosol_mixture
+        m = self.model
+        s = m.state
+        g = m.grid
+        iy, jx = g.iy, g.jx
+        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
+        dec = m.decoupled()
+        kz = g.kz
+        # interface pressures (Pa) from ps + sigma
+        ps_pa = np.asarray(dec["ps"]) * 1000.0
+        pint = (np.asarray(g.sigma)[:, None, None]
+                * (ps_pa - m.cfg.ptop_cb * 1000.0)[None]
+                + m.cfg.ptop_cb * 1000.0)
+        chi = np.maximum(np.asarray(s.chi_a)
+                         / np.maximum(np.asarray(s.ps_a), 1e-10)[None,
+                                                                 None],
+                         0.0)
+        ncol = iy * jx
+        aer = sw_aerosol_mixture(
+            jnp.asarray(chi.reshape(self.ntr, kz, ncol)
+                        .transpose(0, 2, 1)),
+            jnp.asarray(pint.reshape(kz + 1, ncol).T), self.aertab)
+        # visible interval (CCM3 spi 8-ish: 0.35-0.64 µm)
+        ivis = min(8, aer.tauxar.shape[-1] - 1)
+        # drop the padded CCM3 top layer (index 0 of kz+1)
+        tau = np.asarray(aer.tauxar[:, 1:, ivis]).T.reshape(kz, iy, jx)
+        # hydrostatic layer thickness from the decoupled T
+        tv = np.asarray(dec["t"]) * (1.0
+                                     + 0.608 * np.asarray(dec["qv"]))
+        dz = np.maximum(287.0 * tv / 9.80665
+                        * np.log(np.maximum(pint[1:], 1.0)
+                                 / np.maximum(pint[:-1], 1.0)), 1.0)
+        self.opt.write_record(_hours_since_epoch(m.date), {
+            "aext8": cut(tau / dz), "aod": cut(tau.sum(0))})
+
+    def write_slaboc(self):
+        """SLABOC record: prognostic SST + the restoring q-flux
+        recomputed diagnostically (update_slabocean,
+        mod_slabocean.F90:95)."""
+        if self.slaboc is None:
+            return
+        m = self.model
+        s = m.state
+        iy, jx = m.grid.iy, m.grid.jx
+        cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
+        sp = m.cfg.slaboc
+        ocmask = np.asarray(m.core.grid_lndocn) < 0.5
+        mlcp = sp.mixed_layer_depth * 4.0e6
+        qflx = np.where(
+            ocmask & sp.do_restore_sst,
+            (np.asarray(m.core.sst) - np.asarray(s.tg)) * mlcp
+            / (sp.sst_restore_timescale * 86400.0), 0.0)
+        self.slaboc.write_record(_hours_since_epoch(m.date), {
+            "sst": cut(np.where(ocmask, np.asarray(s.tg), 0.0)),
+            "qflx_restore": cut(qflx)})
+
     def write_sub(self):
         """SUB record: per-subcell BATS pack slices."""
         if self.sub is None:
@@ -446,3 +537,7 @@ class OutputStreams:
             self.che.close()
         if self.sub is not None:
             self.sub.close()
+        if self.opt is not None:
+            self.opt.close()
+        if self.slaboc is not None:
+            self.slaboc.close()

@@ -22,8 +22,12 @@ def _run(ipgf=0, idiffu=1, upstream=False, steps=5):
     cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 16, 20, 14
     cfg.physics.ipgf = ipgf
     cfg.physics.idiffu = idiffu
-    if upstream:
-        cfg.physics.extras["upstream_mode"] = True
+    # upstream + stability_enhance are the defaults now (the
+    # reference forces both for idynamic<3, mod_params.F90:645-661);
+    # upstream=False selects the centered variant for contrast
+    if not upstream:
+        cfg.physics.extras["upstream_mode"] = False
+        cfg.physics.extras["stability_enhance"] = False
     m = Model(cfg, dtype=jnp.float64)
     for _ in range(steps):
         m.step()

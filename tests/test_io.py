@@ -254,3 +254,41 @@ def test_coupling_contract(cfg, tmp_path):
     water = np.asarray(m.grid.lndocn) < 0.5
     np.testing.assert_allclose(sst1[water], sst0[water] + 2.0)
     np.testing.assert_allclose(sst1[~water], sst0[~water])
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/Testing/test_008.in"),
+    reason="reference Testing corpus absent")
+def test_opt_slaboc_streams(tmp_path):
+    """OPT (aerosol optics) + SLABOC (slab ocean) output streams —
+    9/9 reference streams exist (stream ids,
+    Main/mpplib/mod_ncout.F90:143-152).  Seeded dust gives a nonzero
+    visible AOD; the slab SST writes over ocean points."""
+    import numpy as np
+    from scipy.io import netcdf_file
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_008.in")
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 12, 14, 14
+    cfg.physics.islab_ocean = 1
+    grid = build_grid(cfg)
+    lveg = np.full((12, 14), 8)
+    lveg[:, 7:] = 15                  # half ocean for the slab
+    grid.extras["lveg"] = lveg
+    grid.lndocn[:, 7:] = 0.0
+    m = Model(cfg, grid=grid, dtype=jnp.float64)
+    chi = m.state.chi_a.at[:, 8:].set(2e-5 * m.state.ps_a[None, None])
+    m.state = m.state._replace(chi_a=chi, chi_b=chi)
+    out = str(tmp_path)
+    m.open_output(out)
+    m.run_with_output(2)
+    m.streams.close()
+    dom = cfg.terrain.domname
+    with netcdf_file(f"{out}/{dom}_OPT.2006060100.nc", "r") as nc:
+        aod = np.array(nc.variables["aod"][:])
+        aext = np.array(nc.variables["aext8"][:])
+        assert aod.max() > 1e-4          # dust layer has optical depth
+        assert np.isfinite(aext).all()
+    with netcdf_file(f"{out}/{dom}_SLABOC.2006060100.nc", "r") as nc:
+        sst = np.array(nc.variables["sst"][:])
+        assert sst.max() > 200.0         # ocean SST written
+        assert np.isfinite(
+            np.array(nc.variables["qflx_restore"][:])).all()

@@ -150,3 +150,38 @@ def test_warm_bubble_rises():
     assert 0.3 < wmax < 30.0
     # updraft maximum ascends
     assert zpeak[-1] > zpeak[0]
+
+
+def test_pallas_tridiag_w_equivalence():
+    """The Pallas implicit-w kernel (interpret mode) is bit-identical
+    to the lax.scan Thomas sweeps it replaces (sound,
+    mod_moloch.F90:838-905)."""
+    from regcm_tpu.dynamics.pallas_kernels import tridiag_w
+    rng = np.random.default_rng(7)
+    n, iy, jx = 40, 24, 40
+    wexpl = jnp.asarray(rng.normal(size=(n, iy, jx)))
+    zm = jnp.asarray(rng.uniform(0.01, 0.5, (n, iy, jx)))
+    zp = jnp.asarray(rng.uniform(0.01, 0.5, (n, iy, jx)))
+    wbot = jnp.asarray(rng.normal(size=(iy, jx)))
+    got = np.asarray(tridiag_w(wexpl, zm, zp, wbot, interpret=True))
+
+    def up_body(carry, K):
+        w_kp1, wwkw_kp1 = carry
+        i = K - 1
+        zrapp = 1.0 / (1.0 + zm[i] + zp[i] - zm[i] * wwkw_kp1)
+        w_k = zrapp * (wexpl[i] + zm[i] * w_kp1)
+        return (w_k, zrapp * zp[i]), (w_k, zrapp * zp[i])
+
+    kz = n + 1
+    _, (wpr, wwr) = jax.lax.scan(
+        up_body, (wbot, jnp.zeros_like(wbot)),
+        jnp.arange(kz - 1, 0, -1))
+    wprov, wwkw = jnp.flip(wpr, 0), jnp.flip(wwr, 0)
+
+    def dn_body(w_km1, i):
+        w_k = wprov[i] + wwkw[i] * w_km1
+        return w_k, w_k
+
+    _, want = jax.lax.scan(dn_body, jnp.zeros_like(wbot),
+                           jnp.arange(kz - 1))
+    np.testing.assert_array_equal(got, np.asarray(want))

@@ -344,3 +344,62 @@ def test_golden_regression():
         scale = float(np.sqrt(np.mean(want[k] ** 2))) + 1e-30
         assert rms / scale < 1e-7, \
             f"golden regression: {k} RMS {rms:.3e} (rel {rms/scale:.2e})"
+
+
+def test_oracle_hadv_upstream(core):
+    """Courant-weighted upstream interface values (hadvt upstream
+    branch, Main/mod_advection.F90:337-349): fx = (1+f1)·f_up +
+    (1-f1)·f_down with f1 = ½·ul·(ua1+ua2)/ps, ul = uoffc·½·dt/dx.
+    Index-by-index NumPy oracle; the defaults must select this path
+    for the sigma-p cores exactly as mod_params.F90:646 forces."""
+    g = core.grid
+    kz, iy, jx = g.kz, g.iy, g.jx
+    assert core.upstream_mode and core.stability_enhance
+    assert core.t_extrema == 5.0 and core.q_rel_extrema == 0.20
+    f = _rand(core, (kz, iy, jx), 11)
+    ua1 = _rand(core, (kz, iy, jx), 12)
+    ua2 = _rand(core, (kz, iy, jx), 13)
+    va1 = _rand(core, (kz, iy, jx), 14)
+    va2 = _rand(core, (kz, iy, jx), 15)
+    ps = 96.0 + 0.1 * _rand(core, (iy, jx), 16)
+    got = np.asarray(core._hadv_scalar(
+        jnp.asarray(f), jnp.asarray(ua1), jnp.asarray(ua2),
+        jnp.asarray(va1), jnp.asarray(va2), ps=jnp.asarray(ps)))
+    xmapf = np.asarray(core.xmapf)
+    ul = core.ul_adv
+    want = np.zeros_like(f)
+    for i in range(1, iy - 2):
+        for j in range(1, jx - 2):
+            f1 = 0.5 * ul * (ua2[:, i, j] + ua1[:, i, j]) / ps[i, j]
+            f2 = 0.5 * ul * (va2[:, i, j] + va1[:, i, j]) / ps[i, j]
+            fx1 = (1 + f1) * f[:, i, j - 1] + (1 - f1) * f[:, i, j]
+            fx2 = (1 + f1) * f[:, i, j] + (1 - f1) * f[:, i, j + 1]
+            fy1 = (1 + f2) * f[:, i - 1, j] + (1 - f2) * f[:, i, j]
+            fy2 = (1 + f2) * f[:, i, j] + (1 - f2) * f[:, i + 1, j]
+            want[:, i, j] = -xmapf[i, j] * (
+                ua2[:, i, j] * fx2 - ua1[:, i, j] * fx1
+                + va2[:, i, j] * fy2 - va1[:, i, j] * fy1)
+    m = np.asarray(core.m_ci) > 0.5
+    np.testing.assert_allclose(got[:, m], want[:, m], rtol=1e-13,
+                               atol=1e-13)
+
+
+def test_oracle_stability_guard(core):
+    """stability_enhance extrema clamp (mod_advection.F90:354-387):
+    a sharp local max may not warm further, a sharp local min may not
+    cool further; smooth fields pass through untouched."""
+    kz, iy, jx = core.grid.kz, core.grid.iy, core.grid.jx
+    ps = jnp.full((iy, jx), 96.0)
+    smooth = jnp.broadcast_to(
+        jnp.linspace(280.0, 300.0, jx)[None, None, :] * 96.0,
+        (kz, iy, jx))
+    fg = jnp.ones((kz, iy, jx))
+    out = core._stability_guard(fg, smooth, ps, "abs")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(fg))
+    spike = smooth.at[:, 5, 5].add(96.0 * 10.0)    # +10 K local max
+    out = core._stability_guard(fg, spike, ps, "abs")
+    assert float(out[0, 5, 5]) == 0.0              # clamped to ≤ 0
+    assert float(out[0, 5, 7]) == 1.0              # neighbors free
+    dip = smooth.at[:, 5, 5].add(-96.0 * 10.0)
+    out = core._stability_guard(-fg, dip, ps, "abs")
+    assert float(out[0, 5, 5]) == 0.0              # min may not cool
