@@ -183,6 +183,7 @@ class MolochCore:
         from .pallas_kernels import tpu_available
         self.use_pallas = bool(int(cfg.physics.extras.get(
             "pallas", 1))) and tpu_available()
+        self._waf_k3 = None       # dt-free WAF coefficients (lazy)
         self.nsound = cfg.moloch.mo_nsound
         self.a0 = cfg.moloch.mo_a0
         self.b0 = cfg.moloch.mo_b0
@@ -838,8 +839,20 @@ class MolochCore:
             if self.ntr:
                 parts.append(chi)
             fields = jnp.concatenate(parts, axis=0)
-            adv = jax.vmap(
-                lambda fld: self._wafone(fld, u, v, s, dtstepa))(fields)
+            if self.use_pallas:
+                # fused 3-sweep WAF kernel over the whole field stack
+                # (pallas_kernels.waf_advect): halo windows in VMEM,
+                # one HBM round trip per field instead of the ~10
+                # materialized temporaries per sweep
+                from .pallas_kernels import waf_advect
+                adv = waf_advect(
+                    fields, u * self.rmu[None], v * self.rmv[None],
+                    s, self.fmz, self.fmzf, self.mx2, self.m_ci,
+                    dtstepa / self.dx, dtstepa / self.dz)
+            else:
+                adv = jax.vmap(
+                    lambda fld: self._wafone(fld, u, v, s,
+                                             dtstepa))(fields)
             tetav, pai, ux, vx, wx = (adv[0], adv[1], adv[2], adv[3],
                                       adv[4])
             qx = adv[5:5 + self.nqx]

@@ -8,9 +8,14 @@ sweeps run inside one kernel with the whole column resident in VMEM,
 tiled over (y, x) blocks (column-local: no halos), so the operands
 make one HBM round trip.
 
-Backend gating: the kernel runs on TPU; everywhere else the caller's
-pure-``lax.scan`` path is used (and the equivalence test runs this
-kernel in interpreter mode against it).
+Backend gating: the kernels run on TPU; everywhere else the caller's
+pure-``lax``/XLA path is used (and the equivalence tests run the
+kernels in interpreter mode against it).  Measured on a single v5e
+chip, 192×192×41 f32: dynamics-only step 10.35 → 6.03 ms (−42%) —
+tridiag_w alone −32%, waf_advect the rest.  NOTE: pallas_call under a
+plain GSPMD-sharded jit does not partition; multi-chip runs keep the
+XLA path (extras pallas=0) until the kernels are wrapped in
+shard_map.
 """
 from __future__ import annotations
 
@@ -88,3 +93,229 @@ def tpu_available() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# fused WAF advection (wafone, mod_moloch.F90:1098-1361)
+# ---------------------------------------------------------------------------
+
+def _limiter(amu, f_up2, f_up1, f_c, f_d):
+    """Superbee WAF weight (wafone limiter, :1120-1135)."""
+    is_ = jnp.sign(amu)
+    is_ = jnp.where(is_ == 0.0, 1.0, is_)
+    den = f_c - f_d
+    r = (f_up1 - f_up2) / jnp.where(
+        jnp.abs(den) < 1e-15, jnp.sign(den) * 1e-15 + 1e-30, den)
+    b = jnp.maximum(0.0, jnp.minimum(
+        2.0, jnp.maximum(r, jnp.minimum(2.0 * r, 1.0))))
+    return is_ + amu * b - is_ * b
+
+
+def _waf_kernel(scal_ref, pp_hbm, wind_hbm, s_hbm, fmz_hbm,
+                fmzf_hbm, c2d_hbm, out_ref, ppv, windv, sv, fmzv,
+                fmzfv, c2v, outv, sems, *, nf, kz, by, wx, iy, jx,
+                y_pad):
+    """One y-slab: vertical → meridional → zonal WAF sweeps for all
+    nf fields, full-x rows resident in VMEM; the shared met/metric
+    windows are DMA'd once per slab, each field once.
+
+    Layout: HBM arrays padded to (·, Y, wx) with ZERO fill for
+    pp/wind/s/c2d (the global shift() semantics) and EDGE fill for
+    fmz/fmzf (shifte() semantics); the y window starts sublane-
+    aligned at i·by and spans by + 2·y_pad rows.
+
+    pp_hbm (nf, kz, Y, wx); wind (2, kz, Y, wx) [um, vm];
+    s (kz+1, Y, wx); fmz (kz, Y, wx); fmzf (kz+1, Y, wx);
+    c2d (2, Y, wx) [mx2, m_ci]."""
+    i = pl.program_id(0)
+    y0 = i * by
+    wy = by + 2 * y_pad
+    dtrdx = scal_ref[0]
+    dtrdz = scal_ref[1]
+
+    copies = [
+        pltpu.make_async_copy(
+            wind_hbm.at[:, :, pl.ds(y0, wy), :], windv, sems.at[1]),
+        pltpu.make_async_copy(
+            s_hbm.at[:, pl.ds(y0, wy), :], sv, sems.at[2]),
+        pltpu.make_async_copy(
+            fmz_hbm.at[:, pl.ds(y0, wy), :], fmzv, sems.at[3]),
+        pltpu.make_async_copy(
+            fmzf_hbm.at[:, pl.ds(y0, wy), :], fmzfv, sems.at[4]),
+        pltpu.make_async_copy(
+            c2d_hbm.at[:, pl.ds(y0, wy), :], c2v, sems.at[5]),
+    ]
+    for cc in copies:
+        cc.start()
+    for cc in copies:
+        cc.wait()
+
+    um = windv[0]
+    vm = windv[1]
+    s = sv[:]
+    fmz = fmzv[:]
+    fmzf = fmzfv[:]
+    mx2 = c2v[0]
+    m_ci = c2v[1]
+
+    def sh(a, d):
+        # out[y] = a[y+d]; zero fill (global shift() semantics —
+        # window edges live in the halo, never written back)
+        if d > 0:
+            return jnp.concatenate([a[:, d:], a[:, :d] * 0.0], axis=1)
+        return jnp.concatenate([a[:, :-d] * 0.0, a[:, :d]], axis=1)
+
+    def shx(a, d):
+        if d > 0:
+            return jnp.concatenate([a[:, :, d:], a[:, :, :d] * 0.0],
+                                   axis=2)
+        return jnp.concatenate([a[:, :, :-d] * 0.0, a[:, :, :d]],
+                               axis=2)
+
+    def she(a, dy, dx_):
+        # edge-replicating shifte() for the metric factors
+        if dy == 1:
+            a = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        elif dy == -1:
+            a = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+        if dx_ == 1:
+            a = jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
+        elif dx_ == -1:
+            a = jnp.concatenate([a[:, :, :1], a[:, :, :-1]], axis=2)
+        return a
+
+    gy = y0 - y_pad + jax.lax.broadcasted_iota(
+        jnp.int32, (1, wy, wx), 1)
+    gx = -2 + jax.lax.broadcasted_iota(jnp.int32, (1, wy, wx), 2)
+
+    for f in range(nf):
+        cp = pltpu.make_async_copy(
+            pp_hbm.at[f, :, pl.ds(y0, wy), :], ppv, sems.at[0])
+        cp.start()
+        cp.wait()
+        pp = ppv[:]
+
+        # ---- vertical sweep (:1115-1160).  The metric coefficients
+        # recompute per field — VPU work is free next to the VMEM
+        # live-set they would otherwise occupy across the loop.
+        rfm_m = dtrdz * fmz / fmzf[1:]
+        fa = fmzf[:kz]
+        rfm_p = dtrdz * fmz / jnp.where(fa == 0.0, 1.0, fa)
+        k0 = jax.lax.broadcasted_iota(jnp.int32, (kz, 1, 1), 0)
+        rfm_p = jnp.where(k0 == 0, 0.0, rfm_p)
+        amu_v = s[1:kz] * dtrdz
+        pos_v = amu_v >= 0.0
+        above = pp[:-1]
+        below = pp[1:]
+        below2 = jnp.concatenate([pp[2:], pp[-1:]], axis=0)
+        above2 = jnp.concatenate([pp[:1], pp[:-2]], axis=0)
+        f1 = jnp.where(pos_v, below, above2)
+        f2 = jnp.where(pos_v, below2, above)
+        zphi = _limiter(amu_v, f2, f1, above, below)
+        wfw = 0.5 * s[1:kz] * ((1.0 + zphi) * below
+                               + (1.0 - zphi) * above)
+        ztop = jnp.zeros_like(wfw[:1])
+        zwf = jnp.concatenate([ztop, wfw, ztop], axis=0)
+        zdv = (s[:kz] * rfm_p - s[1:] * rfm_m) * pp
+        wz = pp - zwf[:kz] * rfm_p + zwf[1:] * rfm_m + zdv
+        # domain-edge rows (:1166-1180): y==0 ← 1; y>=iy-2 ← iy-3
+        wz = jnp.where(
+            gy == 0, sh(wz, 1),
+            jnp.where(gy == iy - 2, sh(wz, -1),
+                      jnp.where(gy >= iy - 1, sh(wz, -2), wz)))
+
+        # ---- meridional sweep (:1278-1310) --------------------------
+        rfmn = dtrdx * 2.0 * fmz / (fmz + she(fmz, 1, 0))
+        rfms = dtrdx * 2.0 * fmz / (fmz + she(fmz, -1, 0))
+        amu_y = vm * dtrdx
+        pos_y = amu_y > 0.0
+        wz_m1 = sh(wz, -1)
+        f1 = jnp.where(pos_y, wz_m1, sh(wz, 1))
+        f2 = jnp.where(pos_y, sh(wz, -2), wz)
+        zphi = _limiter(amu_y, f2, f1, wz, wz_m1)
+        zpby = 0.5 * vm * ((1.0 + zphi) * wz_m1 + (1.0 - zphi) * wz)
+        p0 = wz + mx2 * (zpby * rfms - sh(zpby, 1) * rfmn
+                         + (sh(vm, 1) * rfmn - vm * rfms) * pp)
+        p0 = jnp.where(
+            gx == 0, shx(p0, 1),
+            jnp.where(gx == jx - 2, shx(p0, -1),
+                      jnp.where(gx >= jx - 1, shx(p0, -2), p0)))
+
+        # ---- zonal sweep (:1330-1360) -------------------------------
+        rfme = dtrdx * 2.0 * fmz / (fmz + she(fmz, 0, 1))
+        rfmw = dtrdx * 2.0 * fmz / (fmz + she(fmz, 0, -1))
+        amu_x = um * dtrdx
+        pos_x = amu_x > 0.0
+        p0_m1 = shx(p0, -1)
+        f1 = jnp.where(pos_x, p0_m1, shx(p0, 1))
+        f2 = jnp.where(pos_x, shx(p0, -2), p0)
+        zphi = _limiter(amu_x, f2, f1, p0, p0_m1)
+        zpbw = 0.5 * um * ((1.0 + zphi) * p0_m1 + (1.0 - zphi) * p0)
+        outw = p0 + mx2 * (zpbw * rfmw - shx(zpbw, 1) * rfme
+                           + (shx(um, 1) * rfme - um * rfmw) * pp)
+        outw = jnp.where(m_ci > 0.5, outw, pp)
+        outv[:] = jax.lax.slice_in_dim(outw, y_pad, y_pad + by,
+                                       axis=1)
+        co = pltpu.make_async_copy(
+            outv, out_ref.at[f, :, pl.ds(y0, by), :], sems.at[0])
+        co.start()
+        co.wait()
+
+
+def waf_advect(pp_fields, um, vm, s, fmz, fmzf, mx2, m_ci,
+               dtrdx, dtrdz, interpret=False, by=8):
+    """Fused WAF advection for a stack of fields.
+
+    pp_fields (nf, kz, iy, jx); um/vm (kz, iy, jx) map-scaled winds;
+    s (kz+1, iy, jx); fmz (kz, iy, jx) / fmzf (kz+1, iy, jx) metric
+    factors; mx2/m_ci (iy, jx).  Returns (nf, kz, iy, jx)."""
+    nf, kz, iy, jx = pp_fields.shape
+    dt = pp_fields.dtype
+    y_pad = 8                         # sublane-aligned y halo (>= 2)
+    ny = pl.cdiv(iy, by)
+    ey = ny * by + y_pad - iy         # trailing y pad
+    wx = ((jx + 4 + 127) // 128) * 128
+    ex = wx - (jx + 2)
+
+    def padz(a):
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
+                       + ((y_pad, ey), (2, ex)))
+
+    def pade(a):
+        return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
+                       + ((y_pad, ey), (2, ex)), mode="edge")
+
+    pp_p = padz(pp_fields)
+    wind = padz(jnp.stack([um, vm]))
+    s_p = padz(s)
+    fmz_p = pade(fmz)
+    fmzf_p = pade(fmzf)
+    c2d = padz(jnp.stack([mx2, m_ci]))
+    scal = jnp.stack([jnp.asarray(dtrdx, dt), jnp.asarray(dtrdz, dt)])
+
+    import functools as _ft
+    kern = _ft.partial(_waf_kernel, nf=nf, kz=kz, by=by, wx=wx,
+                       iy=iy, jx=jx, y_pad=y_pad)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    wy = by + 2 * y_pad
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nf, kz, ny * by, wx), dt),
+        grid=(ny,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [hbm] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((kz, wy, wx), dt),
+            pltpu.VMEM((2, kz, wy, wx), dt),
+            pltpu.VMEM((kz + 1, wy, wx), dt),
+            pltpu.VMEM((kz, wy, wx), dt),
+            pltpu.VMEM((kz + 1, wy, wx), dt),
+            pltpu.VMEM((2, wy, wx), dt),
+            pltpu.VMEM((kz, by, wx), dt),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, pp_p, wind, s_p, fmz_p, fmzf_p, c2d)
+    return out[:, :, :iy, 2:2 + jx]
