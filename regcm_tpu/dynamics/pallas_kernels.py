@@ -319,3 +319,65 @@ def waf_advect(pp_fields, um, vm, s, fmz, fmzf, mx2, m_ci,
         interpret=interpret,
     )(scal, pp_p, wind, s_p, fmz_p, fmzf_p, c2d)
     return out[:, :, :iy, 2:2 + jx]
+
+
+# ---------------------------------------------------------------------------
+# Emanuel mixing-matrix reduction (cupeman :723-840 + :975-1100 sums)
+# ---------------------------------------------------------------------------
+def emanuel_mixing(body, laycls, h, hp, q, qs, t, lv, qti, clw, ep, m,
+                   u, v, dph, unk, vnk, icb, ict, cloud,
+                   cb: int = 128, interpret: bool = False):
+    """Compute the reduced Emanuel mixing terms with the (i, j) mixing
+    matrices resident in VMEM, one ``cb``-column block per grid step.
+
+    The XLA path materializes ~10 (ncol, L, L) matrices in HBM
+    (~83 GB of traffic at 192²×41); here only the 2D level profiles
+    stream in and the eight reduced 2D terms stream out (~0.5 MB per
+    block).  ``body`` is emanuel._mixing_body and ``laycls`` its
+    columns-last layout, so the arithmetic is op-for-op the XLA path's;
+    arrays are (L, cb) with the column block on the 128-lane axis.
+    """
+    ncol, L = h.shape
+    dt = h.dtype
+    npad = (-ncol) % cb
+    nblk = (ncol + npad) // cb
+
+    def prep(x, as_int=False):
+        x = jnp.pad(x, ((0, npad),) + ((0, 0),) * (x.ndim - 1))
+        if as_int:
+            x = x.astype(jnp.int32)
+        x = x.T if x.ndim == 2 else x[None, :]
+        return x
+
+    lev = [prep(x) for x in
+           (h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph)]
+    # icb/ict default to 0 in padded columns -> harmless (cloud=False)
+    col = [prep(unk), prep(vnk), prep(icb, True), prep(ict, True)]
+    cld = prep(cloud.astype(dt))
+
+    lay = laycls(L)
+    keys = ("wdtrain_mix", "amp1_e", "ad", "mentii", "qentii",
+            "sum_q", "sum_u", "sum_v")
+
+    def kern(*refs):
+        in_refs, out_refs = refs[:18], refs[18:]
+        lev_b = [r[...] for r in in_refs[:13]]
+        col_b = [r[0] for r in in_refs[13:17]]
+        cloud_b = in_refs[17][...] > 0.5
+        out = body(*lev_b, *col_b, cloud_b, lay)
+        for r, k in zip(out_refs, keys):
+            r[...] = out[k]
+
+    lev_spec = pl.BlockSpec((L, cb), lambda i: (0, i))
+    col_spec = pl.BlockSpec((1, cb), lambda i: (0, i))
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((L, ncol + npad), dt)] * 8,
+        grid=(nblk,),
+        in_specs=[lev_spec] * 13 + [col_spec] * 4 + [lev_spec],
+        out_specs=[lev_spec] * 8,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*lev, *col, cld)
+    return {k: o.T[:ncol] for k, o in zip(keys, outs)}

@@ -886,3 +886,47 @@ def test_dcsst_diurnal_skin():
     tskin_night = float(out.tskin[1, 1])
     assert tskin_night < tskin_day
     assert tskin_night < 300.05
+
+
+def test_emanuel_mixing_pallas_interpret():
+    """The Pallas (columns-last) Emanuel mixing kernel matches the XLA
+    columns-first path to f32 reassociation tolerance (interpret mode;
+    on TPU the kernel is opt-in via emanuel.USE_PALLAS_MIXING)."""
+    from regcm_tpu.physics.cumulus import emanuel as em
+    from regcm_tpu.dynamics.pallas_kernels import emanuel_mixing
+
+    rng = np.random.default_rng(0)
+    ncol, L = 200, 20
+    f = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (ncol, L)),
+                                   jnp.float32)
+    h = f(2.8e5, 3.5e5)
+    hp = f(2.8e5, 3.5e5)
+    q = f(1e-4, 2e-2)
+    qs = f(1e-3, 3e-2)
+    t = f(200, 300)
+    lv = f(2.3e6, 2.6e6)
+    qti = f(1e-4, 2e-2)
+    clw = f(0, 2e-3)
+    ep = f(0, 1)
+    m = f(0, 0.05)
+    u = f(-20, 20)
+    v = f(-20, 20)
+    dph = f(5, 60)
+    pc = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, ncol),
+                                    jnp.float32)
+    unk = pc(-20, 20)
+    vnk = pc(-20, 20)
+    icb = jnp.asarray(rng.integers(1, 6, ncol), jnp.int32)
+    ict = jnp.asarray(rng.integers(8, L - 2, ncol), jnp.int32)
+    ii = jnp.arange(L)[None]
+    cloud = (ii >= icb[:, None] + 1) & (ii <= ict[:, None])
+
+    ref = em._mixing_body(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v,
+                          dph, unk, vnk, icb, ict, cloud, em._LayCF(L))
+    got = emanuel_mixing(em._mixing_body, em._LayCL, h, hp, q, qs, t,
+                         lv, qti, clw, ep, m, u, v, dph, unk, vnk,
+                         icb, ict, cloud, cb=128, interpret=True)
+    for k in ref:
+        a, b = np.asarray(ref[k]), np.asarray(got[k])
+        scale = max(np.max(np.abs(a)), 1e-30)
+        assert np.max(np.abs(a - b)) / scale < 5e-6, k
