@@ -264,6 +264,17 @@ class KFParamNL:
 
 
 @dataclass
+class TiedtkeParamNL:
+    """&tiedtkeparam flags we consume (Main/mod_params.F90:144-149;
+    defaults :450-457). Rate constants (entrpen etc.) follow the
+    reference defaults as module constants in physics/cumulus/tiedtke."""
+    lmfmid: bool = True       # midlevel convection (ktype=3)
+    lmfsmooth: bool = False   # smooth mass fluxes for tracer transport
+    lmftrac: bool = True      # convective tracer transport
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
 class DebugParam:
     debug_level: int = 0
     dbgfrq: float = 3.0
@@ -347,6 +358,7 @@ class RegCMConfig:
     slaboc: SlabOceanParam = field(default_factory=SlabOceanParam)
     chem: ChemParam = field(default_factory=ChemParam)
     kf: KFParamNL = field(default_factory=KFParamNL)
+    tiedtke: TiedtkeParamNL = field(default_factory=TiedtkeParamNL)
     raw: Dict[str, Dict[str, Any]] = field(default_factory=dict)
 
     _GROUP_MAP = {
@@ -369,6 +381,7 @@ class RegCMConfig:
         "slabocparam": ("slaboc", SlabOceanParam),
         "chemparam": ("chem", ChemParam),
         "kfparam": ("kf", KFParamNL),
+        "tiedtkeparam": ("tiedtke", TiedtkeParamNL),
     }
 
     @classmethod

@@ -216,12 +216,10 @@ class Model:
             land = np.asarray(self.grid.lndocn) > 0.5
             icup_col = np.where(land, abs(cfg.physics.icup_lnd),
                                 abs(cfg.physics.icup_ocn))
-            # Tiedtke transports internally (ctracer); the reference
-            # also excludes Emanuel (mod_cu_em internal transport) —
-            # our Emanuel port has none yet, so those columns use the
-            # well-mixed fallback instead of silently skipping
-            # (documented deviation, PARITY §chem)
-            dotran = ~np.isin(icup_col, (5,))
+            # Tiedtke (ctracer) and Emanuel (cupeman ftra) transport
+            # tracers internally (mod_che_cumtran.F90:56-68); the
+            # well-mixed fallback covers the other schemes
+            dotran = ~np.isin(icup_col, (4, 5))
             if dotran.any():
                 self._dotran = jnp.asarray(dotran)
                 self._dsig = jnp.asarray(self.grid.dsigma, dtype)

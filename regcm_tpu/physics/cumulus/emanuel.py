@@ -63,6 +63,7 @@ class EmanuelOut(NamedTuple):
     kbase: jax.Array    # cloud base level (int, Emanuel orientation)
     ktop: jax.Array
     active: jax.Array   # bool: convection occurred
+    ftra: jax.Array | None = None   # tracer tendencies (ncol, NL, ntra)
 
 
 def _tlift(t, q, qs, gz, p, nk, NL):
@@ -190,7 +191,8 @@ class _LayCL(_LayCF):
 
 
 def _mixing_body(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph,
-                 unk, vnk, icb_b, ict_b, cloud, lay):
+                 unk, vnk, icb_b, ict_b, cloud, lay, tra=None,
+                 trank=None):
     """The (i, j) mixing-matrix algebra (cupeman :723-840) REDUCED to
     its per-level contractions — shared by the XLA path (``_LayCF``,
     full batch) and the Pallas kernel (``_LayCL``, one VMEM-resident
@@ -237,6 +239,7 @@ def _mixing_body(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph,
     ment = xp.where(valid,
                     A(m) / (1.0 - xp.clip(sij, 0.0, 0.899)), 0.0)
     nent = lay.sum_j(valid.astype(h.dtype))      # per-i count (exact)
+    sij_pre = sij       # traent/qent use the pre-clip mixing fraction
     sij = xp.clip(sij, 0.0, 1.0)
 
     # no-entrainment detrainment fallback (:770-786)
@@ -300,9 +303,27 @@ def _mixing_body(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph,
     sum_q = lay.sum_i(ment * (qent - awat_k - B(q)))
     sum_u = lay.sum_i(ment * (uent - B(u)))
     sum_v = lay.sum_i(ment * (vent - B(v)))
-    return dict(wdtrain_mix=wdtrain_mix, amp1_e=amp1_e, ad=ad,
-                mentii=mentii, qentii=qentii, sum_q=sum_q,
-                sum_u=sum_u, sum_v=sum_v)
+    out = dict(wdtrain_mix=wdtrain_mix, amp1_e=amp1_e, ad=ad,
+               mentii=mentii, qentii=qentii, sum_q=sum_q,
+               sum_u=sum_u, sum_v=sum_v)
+    if tra is not None:
+        # tracer mixing contraction (:751-753, :839-843, :1061-1077):
+        # traent(k,i) = sij·tra_k + (1-sij)·tra_nk on valid pairs,
+        # tra_nk on the no-entrainment diagonal -> per-level weights
+        # let Σ_k ment·(traent - tra_i) factor into one matvec per
+        # tracer plus two tracer-independent columns (CF layout only;
+        # the opt-in Pallas kernel path never receives tra)
+        zm = xp.zeros_like(ment)
+        w1 = xp.where(valid, ment * sij_pre, zm)
+        w2c = lay.sum_i(xp.where(valid, ment * (1.0 - sij_pre), zm)
+                        + xp.where(diag_set, ment, zm))
+        mentc = lay.sum_i(ment)
+        ntra = tra.shape[-1]
+        sums = [lay.sum_i(w1 * A(tra[:, :, jt])) for jt in range(ntra)]
+        out["sum_tra"] = (xp.stack(sums, axis=-1)
+                          + w2c[:, :, None] * trank[:, None, :]
+                          - mentc[:, :, None] * tra)
+    return out
 
 
 # Opt-in: the Pallas kernel (pallas_kernels.emanuel_mixing) pins the
@@ -315,10 +336,10 @@ USE_PALLAS_MIXING = False
 
 
 def _mixing_terms(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph,
-                  unk, vnk, icb, ict, cloud):
+                  unk, vnk, icb, ict, cloud, tra=None, trank=None):
     """Dispatch: reduced mixing terms via XLA (default) or Pallas."""
     from ...dynamics.pallas_kernels import tpu_available
-    if USE_PALLAS_MIXING and tpu_available():
+    if tra is None and USE_PALLAS_MIXING and tpu_available():
         from ...dynamics.pallas_kernels import emanuel_mixing
         return emanuel_mixing(_mixing_body, _LayCL, h, hp, q, qs, t,
                               lv, qti, clw, ep, m, u, v, dph, unk, vnk,
@@ -326,11 +347,12 @@ def _mixing_terms(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph,
     lay = _LayCF(h.shape[1])
     return _mixing_body(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v,
                         dph, unk, vnk, icb.astype(jnp.int32),
-                        ict.astype(jnp.int32), cloud, lay)
+                        ict.astype(jnp.int32), cloud, lay,
+                        tra=tra, trank=trank)
 
 
 def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
-            minorig: int) -> EmanuelOut:
+            minorig: int, tra=None) -> EmanuelOut:
     """One Emanuel call. Inputs (ncol, NL) bottom-up: t (K), q/qs specific
     humidity (kg/kg), u/v (m/s), p (hPa), ph (ncol, NL+1) interface hPa
     (ph[:,0] below p[:,0]); cbmf_in: cloud-base mass-flux memory;
@@ -485,8 +507,13 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
     unk = take(u, nk)
     vnk = take(v, nk)
     qti = qnk[:, None] - ep * clw                # (ncol, NL2) per i
+    trank = None
+    if tra is not None:
+        trank = jnp.take_along_axis(
+            tra, nk[:, None, None], axis=1)[:, 0]   # (ncol, ntra)
     mix = _mixing_terms(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v,
-                        dph, unk, vnk, icb, ict, cloud)
+                        dph, unk, vnk, icb, ict, cloud,
+                        tra=tra, trank=trank)
     wdtrain_mix = mix["wdtrain_mix"]
 
     # ---- precipitating downdraft (:845-960), scan top→bottom -----------
@@ -501,8 +528,8 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
 
     def dd_body(carry, k):
         # k runs NL2-1 .. 0 (top → surface)
-        water_kp1, wt_kp1, mp_kp1, qp_kp1, up_kp1, vp_kp1, \
-            jtt_set, mp_jtt, p_jtt, evap_acc = carry
+        (water_kp1, wt_kp1, mp_kp1, qp_kp1, up_kp1, vp_kp1,
+         jtt_set, mp_jtt, p_jtt, evap_acc, trap_kp1) = carry
         act = in_dd[:, k]
         tk = t[:, k]
         qk = q[:, k]
@@ -546,6 +573,12 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
             * (evap_k / jnp.maximum(mp_k, 1e-30))
         up_k_grow = up_kp1 * rat + u[:, k] * (1.0 - rat)
         vp_k_grow = vp_kp1 * rat + v[:, k] * (1.0 - rat)
+        if tra is not None:
+            # trap carries the SHIFTED profile (trap(i)=tra(i-1),
+            # :624-633); the growth branch mixes against it (:940-944)
+            tra_init_k = tra[:, jnp.maximum(k - 1, 0), :]
+            trap_k_grow = trap_kp1 * rat[:, None] \
+                + tra_init_k * (1.0 - rat[:, None])
         tkp1 = t[:, jnp.minimum(k + 1, NL2 - 1)]
         lvkp1 = lv[:, jnp.minimum(k + 1, NL2 - 1)]
         gzk = gz[:, k]
@@ -554,6 +587,13 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
                      + c.cpd * (tkp1 - tk)) / (lv[:, k] + tk * (CL - c.cpd))
         qp_k = jnp.where(grow, qp_k_grow,
                          jnp.where(mp_kp1 > 0.0, qp_k_desc, qp_kp1))
+        if tra is not None:
+            trap_k = jnp.where(grow[:, None], trap_k_grow,
+                               jnp.where((mp_kp1 > 0.0)[:, None],
+                                         trap_kp1, trap_kp1))
+            trap_k = jnp.where(act[:, None], trap_k, tra[:, k, :])
+        else:
+            trap_k = trap_kp1
         up_k = jnp.where(grow, up_k_grow,
                          jnp.where(mp_kp1 > 0.0, up_kp1, up_kp1))
         vp_k = jnp.where(grow, vp_k_grow,
@@ -565,15 +605,18 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
         mp_k = jnp.where(act, mp_k, 0.0)
         qp_k = jnp.where(act, qp_k, qk)
         carry = (water_k, wt[:, k], mp_k, qp_k, up_k, vp_k,
-                 jtt_new, mp_jtt_new, p_jtt_new, evap_acc)
-        return carry, (water_k, evap_k, mp_k, qp_k, up_k, vp_k)
+                 jtt_new, mp_jtt_new, p_jtt_new, evap_acc, trap_k)
+        return carry, (water_k, evap_k, mp_k, qp_k, up_k, vp_k,
+                       trap_k)
 
     zc = jnp.zeros((ncol,), t.dtype)
+    trap0 = (tra[:, -1, :] if tra is not None
+             else jnp.zeros((ncol, 1), t.dtype))
     init = (zc, zc + OMTSNOW, zc, q[:, -1] * 0.0, zc, zc,
-            jnp.zeros((ncol,), bool), zc, zc + 1.0, zc)
+            jnp.zeros((ncol,), bool), zc, zc + 1.0, zc, trap0)
     ks = jnp.arange(NL2 - 1, -1, -1)
     carry, outs = jax.lax.scan(dd_body, init, ks)
-    water_r, evap_r, mp_r, qp_r, up_r, vp_r = outs
+    water_r, evap_r, mp_r, qp_r, up_r, vp_r, trap_r = outs
     flip = lambda a: jnp.flip(a.T, axis=1)       # (ncol, NL2) bottom-up
     water = flip(water_r)
     evap = flip(evap_r)
@@ -581,6 +624,8 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
     qp = flip(qp_r)
     up = flip(up_r)
     vp = flip(vp_r)
+    trap = (jnp.flip(jnp.moveaxis(trap_r, 0, 1), axis=1)
+            if tra is not None else None)
     # downdraft only when ep(ict) >= 1e-4 (:845)
     has_dd = take(ep, ict) >= 1.0e-4
     water = water * has_dd[:, None]
@@ -640,6 +685,21 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
         * (mp_p1 * (qp_p1 - q) - mp * (qp - qm1))
     fu = fu + c.egrav * dpinv * (mp_p1 * (up_p1 - u) - mp * (up - um1))
     fv = fv + c.egrav * dpinv * (mp_p1 * (vp_p1 - v) - mp * (vp - vm1))
+    ftra = None
+    if tra is not None:
+        # tracer tendencies mirror fu term-for-term (:994-1095)
+        sh3_p1 = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]],
+                                           axis=1)
+        sh3_m1 = lambda a: jnp.concatenate([a[:, :1], a[:, :-1]],
+                                           axis=1)
+        d3 = dpinv[:, :, None]
+        ftra = c.egrav * d3 * (
+            amp1[:, :, None] * (sh3_p1(tra) - tra)
+            - ad[:, :, None] * (tra - sh3_m1(tra)))
+        ftra = ftra + c.egrav * d3 * mix["sum_tra"]
+        ftra = ftra + c.egrav * d3 * (
+            mp_p1[:, :, None] * (sh3_p1(trap) - tra)
+            - mp[:, :, None] * (trap - sh3_m1(tra)))
     # zero outside convective layer
     conv_lay = ii <= ict[:, None]
     ft = jnp.where(conv_lay, ft, 0.0)
@@ -656,6 +716,13 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
     ft = jnp.where(conv_lay, ft - ents[:, None] / cpn, ft)
     fu = jnp.where(conv_lay, (1.0 - CU) * (fu - uav[:, None]), fu)
     fv = jnp.where(conv_lay, (1.0 - CU) * (fv - vav[:, None]), fv)
+    if tra is not None:
+        # exact tracer-mass conservation (:1142-1150)
+        c3 = conv_lay[:, :, None]
+        ftra = jnp.where(c3, ftra, 0.0)
+        traav = jnp.sum(ftra * dphm[:, :, None], axis=1) \
+            / norm[:, None]
+        ftra = jnp.where(c3, ftra - traav[:, None, :], ftra)
 
     # CFL guard (iflag=4 keeps tendencies; just clamp magnitude)
     cfl = 2.0 * c.egrav * dpinv * amp1
@@ -665,6 +732,8 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
     fq = fq * scale
     fu = fu * scale
     fv = fv * scale
+    if tra is not None:
+        ftra = ftra * scale[:, :, None]
 
     # cloud fraction (Xu & Krueger; :1160-1178)
     mmid = 0.5 * (m + shift_p1(m))
@@ -684,4 +753,6 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
         precip=jnp.where(active, jnp.maximum(precip, 0.0), 0.0),
         cbmf=jnp.where(active, cbmf, 0.0),
         cldfra=jnp.where(act, cldfra, 0.0),
-        kbase=icb, ktop=ict, active=active)
+        kbase=icb, ktop=ict, active=active,
+        ftra=(jnp.where(act[:, :, None], ftra, 0.0)
+              if tra is not None else None))

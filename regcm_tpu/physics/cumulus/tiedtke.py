@@ -174,7 +174,8 @@ class TiedtkeOut(NamedTuple):
 
 
 def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
-             tenq_dyn, tent_dyn, ldland, dtcum, dx, pref):
+             tenq_dyn, tent_dyn, ldland, dtcum, dx, pref,
+             omega=None, lmfmid=True, lmfsmooth=False):
     """One Tiedtke call on (np, nk) columns (top-down ordering).
 
     t/q (K, specific humidity), ph/pf layer/interface Pa, geo/geof
@@ -200,6 +201,9 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
     nk350 = _first_below(350.0e2)
     nk060 = _first_below(60.0e2)
     nk950 = _first_below(950.0e2)
+    nmctop0 = _first_below(300.0e2)   # cmcptop=300 hPa (:111, :331-342)
+    if omega is None:
+        lmfmid = False
 
     qs = jnp.minimum(QSMAX, fesat(t) / ph)
     qs = qs / (1.0 - c.ep1 * qs)
@@ -589,8 +593,49 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
     def _ascent_body(carry, k):
         (mfu, mfus, mfuq, mful, lude, lglac, dmfup, xrain, kineu,
          mfude_rate, tu, qu, lu, ilab, kctop, wmean, dpmean,
-         zoentr) = carry
-        active = ldcum & (ilab[:, k + 1] == 2)
+         zoentr, ldcum, kcbot, ktype, mfub) = carry
+        if lmfmid:
+            # midlevel cloud base (mcbase, :6255-6283): start a fresh
+            # ktype=3 updraft where no convection exists yet
+            mc = (~ldcum) & (ilab[:, k + 1] == 0) \
+                & (k < nk - 2) & (k > nmctop0) \
+                & (geo[:, k] > 5000.0) & (geo[:, k] < 10000.0) \
+                & (q[:, k] > 0.8 * qs[:, k])
+            mfub_mc = jnp.clip(-omega[:, k] * c.regrav,
+                               CMFCMIN, CMFCMAX)
+            tu_mc = (c.cpd * t[:, k] + geo[:, k]
+                     - geof[:, k + 1]) * c.rcpd
+            setk1 = lambda a, v: a.at[:, k + 1].set(
+                jnp.where(mc, v, a[:, k + 1]))
+            tu = setk1(tu, tu_mc)
+            qu = setk1(qu, q[:, k])
+            lu = setk1(lu, jnp.zeros(npx))
+            mfu = setk1(mfu, mfub_mc)
+            mfus = setk1(mfus, mfub_mc * (c.cpd * tu_mc
+                                          + geof[:, k + 1]))
+            mfuq = setk1(mfuq, mfub_mc * q[:, k])
+            mful = setk1(mful, jnp.zeros(npx))
+            dmfup = setk1(dmfup, jnp.zeros(npx))
+            xrain = setk1(xrain, jnp.zeros(npx))
+            kcbot = jnp.where(mc, k, kcbot)
+            ilab = ilab.at[:, k + 1].set(
+                jnp.where(mc, 1, ilab[:, k + 1]))
+            ktype = jnp.where(mc, 3, ktype)
+            mfub = jnp.where(mc, mfub_mc, mfub)
+            # cap midlevel base mass flux (:5942-5952)
+            cap = (ktype == 3) & (k == kcbot)
+            mfmax_mc = (pf[:, k] - pf[:, k - 1]) * cons2 * RMFLIC \
+                + RMFLIA
+            fac_mc = jnp.where(cap & (mfub > mfmax_mc),
+                               mfmax_mc / jnp.maximum(mfub, CMFCMIN),
+                               1.0)
+            mfu = mfu.at[:, k + 1].multiply(fac_mc)
+            mfus = mfus.at[:, k + 1].multiply(fac_mc)
+            mfuq = mfuq.at[:, k + 1].multiply(fac_mc)
+            mfub = jnp.where(cap, jnp.minimum(mfub, mfmax_mc), mfub)
+        # midlevel first saturated step enters via ilab==1 (:5930-5931)
+        mid1 = (ktype == 3) & (ilab[:, k + 1] == 1)
+        active = (ldcum & (ilab[:, k + 1] == 2)) | mid1
         # entrainment/detrainment (entrainm + organized)
         below = k < kcbot
         mfterm = mfu[:, k + 1] * (geof[:, k] - geof[:, k + 1]) \
@@ -659,6 +704,11 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
                    - xrain[:, k + 1])
         be = tf[:, k] * (1.0 + c.ep1 * qf[:, k])
         buo_k = bc - be
+        # midlevel first-step acceptance (:6052-6063)
+        ok3 = mid1 & condensed & (buo_k > -0.5)
+        bad3 = mid1 & condensed & (buo_k <= -0.5)
+        ldcum = ldcum | ok3
+        kctop = jnp.where(ok3, k, kctop)
         buoc = (buo_k / (tf[:, k] * (1.0 + c.ep1 * qf[:, k]))
                 + jnp.zeros(npx)) * 0.5
         dkbuo = (geof[:, k] - geof[:, k + 1]) * (0.5 / 1.5) * buoc
@@ -667,8 +717,9 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
                            / jnp.maximum(CMFCMIN, mfu[:, k + 1]))
         kin_k = (kineu[:, k + 1] * (1.0 - dken) + dkbuo) \
             / (1.0 + dken)
-        # negative buoyancy: enhanced detrainment
-        negb = condensed & (buo_k < 0.0)
+        kin_k = jnp.where(ok3, 0.5, kin_k)
+        # negative buoyancy: enhanced detrainment (ilab==2 only)
+        negb = condensed & (buo_k < 0.0) & ~mid1
         kedke = jnp.clip(kin_k / jnp.maximum(1.0e-10,
                                              kineu[:, k + 1]),
                          0.0, 1.0)
@@ -678,8 +729,13 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
                           dmfde)
         lude_k = jnp.where(negb, lu[:, k + 1] * dmfde, lude_k)
         mfk = jnp.where(negb, mfu[:, k + 1] + dmfen - dmfde, mfk)
+        # failed midlevel first step: cancel the plume (:6059-6063)
+        mfk = jnp.where(bad3, 0.0, mfk)
+        kin_k = jnp.where(bad3, 0.0, kin_k)
+        lude_k = jnp.where(bad3, 0.0, lude_k)
+        luk = jnp.where(bad3, 0.0, luk)
         # organized entrainment for next level
-        posb = condensed & (buo_k > -0.2)
+        posb = condensed & (buo_k > -0.2) & ~mid1
         zoentr = jnp.where(
             posb,
             jnp.minimum(0.4, entrpen
@@ -691,7 +747,7 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
             jnp.where(condensed, 0.0, zoentr))
         alive = condensed & (kin_k > 0.0) & (mfk > 0.0)
         kctop = jnp.where(alive, k, kctop)
-        dead = condensed & ~alive
+        dead = condensed & ~alive & ~bad3   # bad3 cancels with lude=0
         dmfde = jnp.where(dead, mfu[:, k + 1], dmfde)
         lude_k = jnp.where(dead, lu[:, k + 1] * dmfde, lude_k)
         mfk = jnp.where(dead, 0.0, mfk)
@@ -772,16 +828,16 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
                                            mfuq[:, k]))
         return (mfu, mfus, mfuq, mful, lude, lglac, dmfup, xrain,
                 kineu, mfude_rate, tu, qu, lu, ilab, kctop, wmean,
-                dpmean, zoentr), None
+                dpmean, zoentr, ldcum, kcbot, ktype, mfub), None
 
     carry0 = (mfu, mfus, mfuq, mful, lude, lglac, dmfup, xrain,
               kineu, mfude_rate, tu, qu, lu, ilab, kctop, wmean,
-              dpmean, zoentr)
+              dpmean, zoentr, ldcum, kcbot, ktype, mfub)
     carry0, _ = jax.lax.scan(_ascent_body, carry0,
                              jnp.arange(nk - 2, 1, -1, dtype=jnp.int32))
     (mfu, mfus, mfuq, mful, lude, lglac, dmfup, xrain, kineu,
      mfude_rate, tu, qu, lu, ilab, kctop, wmean, dpmean,
-     zoentr) = carry0
+     zoentr, ldcum, kcbot, ktype, mfub) = carry0
 
     ldcum = ldcum & (kctop >= 0)
     kcbot = jnp.maximum(kcbot, kctop)
@@ -951,11 +1007,15 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
     dh2 = c.egrav * jnp.maximum(dh2, 1.0e5 * dqmin)
     mfub1_shal = jnp.where(dhpbl > 0.0,
                            jnp.minimum(dhpbl / dh2, mfmax_b), mfub)
+    # ktype=3: mfub1 = mfub*(1+eps) capped (:4929-4932)
+    mfub1_mid = jnp.minimum(mfub * (1.0 + eps_d), mfmax_b)
     mfub1 = jnp.where(ktype == 1, mfub1_deep,
-                      jnp.where(ktype == 2, mfub1_shal, mfub))
+                      jnp.where(ktype == 2, mfub1_shal,
+                                jnp.where(ktype == 3, mfub1_mid,
+                                          mfub)))
     mfub1 = jnp.where(ldcum, mfub1, 0.0)
     # rescale downdraft fluxes
-    facd = jnp.where(lddraf,
+    facd = jnp.where(lddraf & (ktype != 3),
                      mfub1 / jnp.maximum(mfub, 1.0e-10), 1.0)[:, None]
     mfd = mfd * facd
     mfds = mfds * facd
@@ -1331,7 +1391,7 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
                             cf_mid)), 0.0)
     # section 11 (:5344-5380): CFL-rescale the fluxes for tracer
     # transport (tighter 0.8·cons cap, rmfsolct ≤ 3)
-    ct_ldcum = ldcum & (kcbot - kctop >= 1)
+    ct_ldcum = ldcum & (ktype != 3) & (kcbot - kctop >= 1)
     lim11 = ct_ldcum[:, None] & (karr1 >= kctop[:, None])
     mfmax11 = (pf[:, 1:nk] - pf[:, :nk - 1]) * 0.8 * cons
     mfs11 = jnp.minimum(1.0, jnp.where(
@@ -1345,6 +1405,48 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
     ct_udrate = jnp.where(span11u, mfude_rate * mfs11[:, None], 0.0)
     ct_mfd = jnp.where(span11d, mfd * mfs11[:, None], 0.0)
     ct_ddrate = jnp.where(span11d, mfdde_rate * mfs11[:, None], 0.0)
+
+    if lmfsmooth:
+        # smoothing of tracer-transport mass fluxes at draught edges
+        # (:5387-5417)
+        attop = ct_ldcum[:, None] & (karr == kctop[:, None]) \
+            & (karr >= 1) & (karr <= nk - 2)
+        mfu_p1 = jnp.concatenate([ct_mfu[:, 1:], ct_mfu[:, -1:]],
+                                 axis=1)
+        erate_u = jnp.maximum(0.0, ct_mfu - 0.5 * mfu_p1)
+        new_mfu = jnp.where(attop, ct_mfu - erate_u, ct_mfu)
+        ct_udrate = jnp.where(attop, ct_udrate + erate_u, ct_udrate)
+        # mfudr(kctop-1) = smoothed mfuus(kctop)
+        wrt = jnp.concatenate([attop[:, 1:],
+                               jnp.zeros_like(attop[:, :1])], axis=1)
+        val = jnp.concatenate([new_mfu[:, 1:], new_mfu[:, -1:]],
+                              axis=1)
+        ct_udrate = jnp.where(wrt, val, ct_udrate)
+        ct_mfu = new_mfu
+        m_p1 = jnp.concatenate(
+            [ct_mfd[:, 1:], jnp.zeros_like(ct_mfd[:, :1])], axis=1)
+        m_m1 = jnp.concatenate(
+            [jnp.zeros_like(ct_mfd[:, :1]), ct_mfd[:, :-1]], axis=1)
+        dcond = ct_lddraf[:, None] & (ct_mfd < 0.0) \
+            & (jnp.abs(m_p1) < 1e-30) & (karr >= 1) \
+            & (karr <= nk - 2)
+        erate_d = jnp.minimum(0.0, ct_mfd - 0.5 * m_m1)
+        new_mfd = jnp.where(dcond, ct_mfd - erate_d, ct_mfd)
+        ct_ddrate = jnp.where(dcond, ct_ddrate - erate_d, ct_ddrate)
+        # mfddr(k+1) = -smoothed mfdus(k)
+        wrtd = jnp.concatenate(
+            [jnp.zeros_like(dcond[:, :1]), dcond[:, :-1]], axis=1)
+        vald = jnp.concatenate(
+            [jnp.zeros_like(new_mfd[:, :1]), -new_mfd[:, :-1]],
+            axis=1)
+        ct_ddrate = jnp.where(wrtd, vald, ct_ddrate)
+        ct_mfd = new_mfd
+        udr_m1 = jnp.concatenate(
+            [jnp.zeros_like(ct_udrate[:, :1]), ct_udrate[:, :-1]],
+            axis=1)
+        fill = ct_ldcum[:, None] & (jnp.abs(ct_udrate) < 1e-30) \
+            & (udr_m1 > 0.0) & (karr >= 1) & (karr <= nk - 2)
+        ct_udrate = jnp.where(fill, 0.5 * udr_m1, ct_udrate)
 
     z = jnp.where(ldcum[:, None], 1.0, 0.0)
     return TiedtkeOut(tten=tten * z, qten=qten * z, lten=tenl * z,

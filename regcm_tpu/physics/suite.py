@@ -390,6 +390,17 @@ class PhysicsSuite:
             qspec = qmix / (1.0 + qmix)
             qs_spec = atms["qsb3"] / (1.0 + atms["qsb3"])
             phflip = jnp.flip(pf3, axis=0).reshape(kz + 1, ncol).T
+            # internal tracer transport (chemcutran, mod_cu_em.F90:
+            # :454, :605-1150): mixing ratios ride the same plume /
+            # downdraft algebra as u/v; applied on alarm steps only
+            tra_em = None
+            if (self.chem is not None and self.chem.ntr > 0
+                    and self.cfg.chem.ichcumtra == 1):
+                chi_u = jnp.maximum(
+                    s.chi_b * atms["rpsb"][None], 0.0)
+                tra_em = jnp.flip(jnp.transpose(
+                    chi_u.reshape(self.chem.ntr, kz, ncol),
+                    (2, 1, 0)), axis=1)       # (ncol, kz, ntr) bot-up
             out = cupeman(
                 flipc(tb3), flipc(qspec), flipc(qs_spec),
                 flipc(atms["ubx3"]), flipc(atms["vbx3"]),
@@ -398,7 +409,8 @@ class PhysicsSuite:
                 jnp.where(core.grid_lndocn.reshape(ncol) > 0.5,
                           ELCRIT_LND, ELCRIT_OCN),
                 jnp.full((ncol,), EPMAX, tb3.dtype),
-                max(self.minorig - 1, 1))   # 0-based origin level
+                max(self.minorig - 1, 1),   # 0-based origin level
+                tra=tra_em)
             qspec2 = flipc(qspec)
             cldfra = unflip(out.cldfra)
             res.update(
@@ -410,6 +422,8 @@ class PhysicsSuite:
                 cldlwc=jnp.where(cldfra > 0.0, 0.3e-3 * 1000.0 * rho,
                                  0.0),
                 state=dict(cbmf=out.cbmf.reshape(iy, jx) * core.m_ci))
+            if tra_em is not None:
+                res["_emftra"] = out.ftra     # (ncol, kz, ntr) bot-up
         elif icup == 5:
             # "new Tiedtke" mass-flux scheme (ntiedtke,
             # Main/cumlib/mod_cu_tiedtke.F90:4508, driver tiedtkedrv
@@ -450,7 +464,10 @@ class PhysicsSuite:
                 colc(tt),
                 core.grid_lndocn.reshape(ncol) > 0.5,
                 float(core.dtsec), float(self.cfg.ds_m),
-                _np.asarray(self.grid.hsigma) * c.stdp)
+                _np.asarray(self.grid.hsigma) * c.stdp,
+                omega=colc(atms["omega_pa"]),
+                lmfmid=bool(self.cfg.tiedtke.lmfmid),
+                lmfsmooth=bool(self.cfg.tiedtke.lmfsmooth))
             qspec_c = colc(qspec)
             qcten = out.lten
             qiten = jnp.zeros_like(out.iten)
@@ -1069,6 +1086,15 @@ class PhysicsSuite:
             # Tiedtke internal convective tracer transport (ctracer,
             # mod_cu_tiedtke.F90:7549; lmftrac): impulse applied on
             # syncro_cum steps when icup=5 runs this step
+            # Emanuel internal convective tracer transport (ftra,
+            # mod_cu_em.F90:994-1150): impulse on syncro_cum steps
+            if "_emftra" in cu:
+                iy2, jx2 = tb3.shape[1], tb3.shape[2]
+                ncol2 = iy2 * jx2
+                ft3 = jnp.flip(cu["_emftra"], axis=1)   # top-down
+                chiten_chem = chiten_chem + jnp.transpose(
+                    ft3, (2, 1, 0)).reshape(self.chem.ntr, kz, iy2,
+                                            jx2) * cpl[None] * m_ci
             if "_tdk" in cu:
                 from .cumulus.tiedtke import ctracer
                 iy2, jx2 = tb3.shape[1], tb3.shape[2]

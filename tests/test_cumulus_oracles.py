@@ -257,3 +257,153 @@ if __name__ == "__main__":
     print("FP_GRELL =", _fingerprint_grell())
     print("FP_EMANUEL =", _fingerprint_emanuel())
     print("FP_TIEDTKE =", _fingerprint_tiedtke())
+
+
+def _midlevel_profile():
+    """Stable PBL, moist mid-troposphere with large-scale lifting —
+    the mcbase (ktype=3) regime (mod_cu_tiedtke.F90:6255-6283)."""
+    from regcm_tpu.physics.cumulus.tiedtke import ntiedtke  # noqa: F401
+    NK = 24
+    sig = (np.arange(NK) + 0.5) / NK
+    ps, ptop = 100500.0, 5000.0
+    ph = ptop + sig * (ps - ptop)
+    pf = ptop + np.arange(NK + 1) / NK * (ps - ptop)
+    z = 287.0 * 255.0 / 9.81 * np.log(ps / ph)
+    # strongly stable lapse below 1 km (no PBL convection), moist
+    # near-saturated layer between 500 and 1000 m geopotential height
+    t = np.maximum(288.0 - 5.0e-3 * z, 200.0)[None]
+    t[0, z > 11000] = 288.0 - 5.0e-3 * 11000
+    qsat = 0.622 * 610.78 * np.exp(
+        17.27 * (t - 273.15) / (t - 35.86)) / ph[None]
+    rh = np.full(NK, 0.35)
+    rh[(z > 450) & (z < 1100)] = 0.93
+    q = qsat * rh[None]
+    zf = np.zeros((1, NK + 1))
+    za = np.zeros((1, NK))
+    for k in range(NK - 1, -1, -1):
+        tv = t[:, k] * (1 + 0.608 * q[:, k])
+        zf[:, k] = zf[:, k + 1] + 287.0 * tv / 9.81 \
+            * np.log(pf[k + 1] / pf[k])
+        za[:, k] = 0.5 * (zf[:, k] + zf[:, k + 1])
+    omega = np.where((z[None] > 300) & (z[None] < 3000), -1.2, 0.0)
+    j = jnp.asarray
+    base = dict(
+        qctot=j(np.zeros((1, NK))), qhfl=j(np.zeros((1, NK + 1))),
+        ahfs=j(np.zeros((1, NK + 1))),
+        ph=j(np.broadcast_to(ph, (1, NK))),
+        pf=j(np.broadcast_to(pf, (1, NK + 1))),
+        geo=j(za * 9.80665), geof=j(zf * 9.80665),
+        tenq_dyn=j(np.zeros((1, NK))), tent_dyn=j(np.zeros((1, NK))),
+        ldland=j(np.array([True])), dtcum=600.0, dx=25000.0,
+        pref=ph.copy())
+    return j(t), j(q), j(omega), base
+
+
+def test_tiedtke_midlevel_ktype3():
+    """lmfmid starts a ktype=3 updraft from the moist lifting layer
+    where the PBL-rooted search finds nothing; lmfmid=False suppresses
+    it (mcbase, mod_cu_tiedtke.F90:6255-6283)."""
+    from regcm_tpu.physics.cumulus.tiedtke import ntiedtke
+    t, q, omega, kw = _midlevel_profile()
+    zz = jnp.zeros_like(t)
+    out_on = ntiedtke(t, q, zz, zz, omega=omega, lmfmid=True, **kw)
+    out_off = ntiedtke(t, q, zz, zz, omega=omega, lmfmid=False, **kw)
+    assert int(out_on.ktype[0]) == 3
+    assert int(out_off.ktype[0]) != 3
+    assert np.isfinite(np.asarray(out_on.tten)).all()
+    assert float(jnp.abs(out_on.tten).max()) > 0.0
+    # tracer transport is switched off for midlevel convection (:5347)
+    assert not bool(out_on.ct_ldcum[0])
+
+
+def test_tiedtke_lmfsmooth_finite():
+    """lmfsmooth redistributes the tracer-transport fluxes at draught
+    edges without breaking the implicit ctracer solve (:5387-5417)."""
+    from regcm_tpu.physics.cumulus.tiedtke import ntiedtke, ctracer
+    NK = 18
+    sig = (np.arange(NK) + 0.5) / NK
+    ps, ptop = 100500.0, 5000.0
+    ph = ptop + sig * (ps - ptop)
+    pf = ptop + np.arange(NK + 1) / NK * (ps - ptop)
+    z = 287.0 * 260.0 / 9.81 * np.log(ps / ph)
+    t = np.maximum(302.0 - 6.5e-3 * z, 200.0)[None]
+    qsat = 0.622 * 610.78 * np.exp(
+        17.27 * (t - 273.15) / (t - 35.86)) / ph[None]
+    rh = np.interp(sig, [0.0, 0.5, 0.8, 1.0], [0.1, 0.4, 0.85, 0.92])
+    q = qsat * rh[None]
+    zf = np.zeros((1, NK + 1))
+    za = np.zeros((1, NK))
+    for k in range(NK - 1, -1, -1):
+        tv = t[:, k] * (1 + 0.608 * q[:, k])
+        zf[:, k] = zf[:, k + 1] + 287.0 * tv / 9.81 \
+            * np.log(pf[k + 1] / pf[k])
+        za[:, k] = 0.5 * (zf[:, k] + zf[:, k + 1])
+    qhfl = np.zeros((1, NK + 1)); qhfl[:, NK] = -8e-5
+    ahfs = np.zeros((1, NK + 1)); ahfs[:, NK] = -120.0
+    j = jnp.asarray
+    args = (j(t), j(q), j(np.full((1, NK), 3.0)),
+            j(np.full((1, NK), -1.0)), j(np.zeros((1, NK))),
+            j(qhfl), j(ahfs), j(np.broadcast_to(ph, (1, NK))),
+            j(np.broadcast_to(pf, (1, NK + 1))),
+            j(za * c.egrav), j(zf * c.egrav),
+            j(np.full((1, NK), 2e-8)), j(np.zeros((1, NK))),
+            j(np.array([True])))
+    from functools import partial
+    run = partial(ntiedtke, dtcum=60.0, dx=25000.0, pref=ph.copy())
+    out_s = run(*args, lmfsmooth=True)
+    out_n = run(*args, lmfsmooth=False)
+    assert bool(out_s.ct_ldcum[0])
+    qtr = j(np.full((1, NK, 2), 1e-9))
+    for out in (out_s, out_n):
+        tend = ctracer(qtr, out, j(np.broadcast_to(pf, (1, NK + 1))),
+                       60.0)
+        assert np.isfinite(np.asarray(tend)).all()
+    # smoothing moves flux between mfu and the detrainment rate but
+    # the draught-edge total is preserved at cloud top
+    kt = int(out_s.kctop[0])
+    tot_s = float(out_s.ct_mfu[0, kt] + out_s.ct_udrate[0, kt])
+    tot_n = float(out_n.ct_mfu[0, kt] + out_n.ct_udrate[0, kt])
+    np.testing.assert_allclose(tot_s, tot_n, rtol=1e-12)
+
+
+def test_emanuel_tracer_transport():
+    """cupeman's internal tracer transport (chemcutran, mod_cu_em.F90
+    :454-1150): a uniform tracer feels no tendency (pure transport)
+    and tracer mass is conserved exactly (:1142-1150)."""
+    from regcm_tpu.physics.cumulus.emanuel import cupeman
+    from regcm_tpu.utils.thermo import pfwsat
+    kz = 18
+    sig = np.linspace(0.995, 0.025, kz)
+    ps = 1013.0
+    ph = np.concatenate([[ps], 0.5 * (sig[1:] + sig[:-1]) * (ps - 50)
+                         + 50, [50.0]])
+    p = sig * (ps - 50) + 50
+    t2 = np.tile(np.maximum(302.0 * (p / ps) ** 0.23, 200.0), (1, 1))
+    qs = np.asarray(pfwsat(jnp.asarray(t2), jnp.asarray(p[None] * 100)))
+    q = qs * np.concatenate([[0.9] * 4, [0.7] * 6, [0.3] * 8])[None]
+    q = q / (1 + q)
+    qs_s = qs / (1 + qs)
+    zero = np.zeros((1, kz))
+    # tracer 0 uniform; tracer 1 decays with height
+    tra = np.stack([np.full(kz, 2.0e-9),
+                    1.0e-8 * sig ** 2], axis=-1)[None]
+    cbmf = jnp.zeros(1)
+    out = None
+    for _ in range(8):
+        out = cupeman(jnp.asarray(t2), jnp.asarray(q),
+                      jnp.asarray(qs_s), jnp.asarray(zero),
+                      jnp.asarray(zero), jnp.asarray(p[None]),
+                      jnp.asarray(ph[None]),
+                      out.cbmf if out is not None else cbmf, 300.0,
+                      jnp.full(1, 1.1e-3), jnp.full(1, 0.999), 2,
+                      tra=jnp.asarray(tra))
+    assert bool(out.active[0])
+    ftra = np.asarray(out.ftra[0])
+    assert np.isfinite(ftra).all()
+    # uniform tracer: every mixing/downdraft difference vanishes
+    np.testing.assert_allclose(ftra[:, 0], 0.0, atol=1e-22)
+    # non-uniform tracer: transported but column mass conserved
+    assert np.abs(ftra[:, 1]).max() > 0.0
+    dph = ph[:-1] - ph[1:]
+    col = float(np.sum(ftra[:, 1] * dph))
+    assert abs(col) < 1e-12 * float(np.sum(np.abs(ftra[:, 1]) * dph))
