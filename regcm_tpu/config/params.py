@@ -264,6 +264,28 @@ class KFParamNL:
 
 
 @dataclass
+class PerturbParam:
+    """&perturbparam (Share/mod_dynparam.F90:417-471): O'Brien, Sloan
+    & Snyder (2010) ensemble perturbation of ICBC reads; only honored
+    when globdatparam's ensemble_run is true (:711-731)."""
+    lperturb_topo: bool = False
+    lperturb_ts: bool = False
+    lperturb_ps: bool = False
+    lperturb_t: bool = False
+    lperturb_q: bool = False
+    lperturb_u: bool = False
+    lperturb_v: bool = False
+    perturb_frac_topo: float = 0.001
+    perturb_frac_ts: float = 0.001
+    perturb_frac_ps: float = 0.001
+    perturb_frac_t: float = 0.001
+    perturb_frac_q: float = 0.001
+    perturb_frac_u: float = 0.001
+    perturb_frac_v: float = 0.001
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
 class TiedtkeParamNL:
     """&tiedtkeparam flags we consume (Main/mod_params.F90:144-149;
     defaults :450-457). Rate constants (entrpen etc.) follow the
@@ -311,6 +333,7 @@ class GlobdatParam:
     dirglob: str = "."
     inpglob: str = "."
     calendar: str = "gregorian"
+    ensemble_run: bool = False
     extras: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -359,6 +382,7 @@ class RegCMConfig:
     chem: ChemParam = field(default_factory=ChemParam)
     kf: KFParamNL = field(default_factory=KFParamNL)
     tiedtke: TiedtkeParamNL = field(default_factory=TiedtkeParamNL)
+    perturb: PerturbParam = field(default_factory=PerturbParam)
     raw: Dict[str, Dict[str, Any]] = field(default_factory=dict)
 
     _GROUP_MAP = {
@@ -382,6 +406,7 @@ class RegCMConfig:
         "chemparam": ("chem", ChemParam),
         "kfparam": ("kf", KFParamNL),
         "tiedtkeparam": ("tiedtke", TiedtkeParamNL),
+        "perturbparam": ("perturb", PerturbParam),
     }
 
     @classmethod

@@ -138,6 +138,29 @@ class Model:
                 "(1=hydrostatic, 2=MM5-NH, 3=MOLOCH)")
         self.cfg = cfg
         self.grid = grid or build_grid(cfg)
+        # O'Brien (2010) ensemble perturbation (mod_ensemble.F90 via
+        # mod_ncio.F90:176-940): multiplicative noise on topo at setup
+        # and on every ICBC field read; enabled by ensemble_run
+        self._perturb_rng = None
+        pp = cfg.perturb
+        if cfg.globdat.ensemble_run and any(
+                getattr(pp, f"lperturb_{n}") for n in
+                ("topo", "ts", "ps", "t", "q", "u", "v")):
+            self._perturb_rng = np.random.default_rng(
+                pp.extras.get("seed"))
+            if pp.lperturb_topo and grid is None:
+                from .utils.ensemble import randify
+                import dataclasses as _dc
+                # perturb the stored geopotential; the derived
+                # diffusion topo factor keeps the unperturbed base
+                # (the reference perturbs at file read and so rederives
+                # it -- sub-0.1% effect on a background coefficient)
+                ht2 = randify(self.grid.ht, pp.perturb_frac_topo,
+                              self._perturb_rng)
+                try:
+                    self.grid = _dc.replace(self.grid, ht=ht2)
+                except TypeError:
+                    object.__setattr__(self.grid, "ht", ht2)
         if physics is False:        # explicit opt-out (dynamics only)
             physics = None
         elif physics is None:
@@ -322,8 +345,25 @@ class Model:
 
     # ICBC-driven runs (init/bdyin/bdyval, Main/mod_init.F90 +
     # Main/mod_bdycod.F90:654) ------------------------------------------
+    def _maybe_perturb(self, rec):
+        """randify each enabled ICBC field on read
+        (mod_ncio.F90:863-940)."""
+        if self._perturb_rng is None:
+            return rec
+        from .utils.ensemble import randify
+        pp = self.cfg.perturb
+        out = dict(rec)
+        for name, key in (("ts", "ts"), ("ps", "ps"), ("t", "t"),
+                          ("q", "qv"), ("u", "u"), ("v", "v")):
+            if getattr(pp, "lperturb_" + name) and key in out:
+                out[key] = randify(
+                    out[key], getattr(pp, "perturb_frac_" + name),
+                    self._perturb_rng)
+        return out
+
     def _icbc_to_state_fields(self, rec):
         """Couple an ICBC record into prognostic arrays."""
+        rec = self._maybe_perturb(rec)
         from .dynamics import stencil
         from .dynamics.stencil import cross2dot
         ptop = self.grid.ptop
@@ -341,9 +381,30 @@ class Model:
 
     def _icbc_to_moloch_fields(self, rec):
         """ICBC sigma-level record → MOLOCH zita-level fields."""
+        rec = self._maybe_perturb(rec)
         return self.core.fields_from_sigma(
             rec["ps"], rec["t"], rec["qv"], rec["u"], rec["v"],
             self.grid.sigma)
+
+    def set_chem_bc(self, reader):
+        """Attach a CHBC reader (chem_icbc output): lateral chem
+        boundaries relax toward climatology instead of clean air
+        (mod_che_bdyco.F90 chebdy/nudge_chi)."""
+        self._chbc = reader
+        if getattr(self, "bdy", None) is not None \
+                and hasattr(self, "_icbc"):
+            self.update_boundary()
+
+    def _chbc_pair(self, d0, d1, ps0, ps1, dtbdy):
+        """Coupled (chi0, chit) boundary pair from the CHBC reader."""
+        reader = getattr(self, "_chbc", None)
+        if reader is None or self.core.ntr == 0:
+            return None, None
+        c0, i0 = reader.record_at(d0)
+        c1, i1 = reader.record_at(d1)
+        chi0 = jnp.asarray(c0, self.dtype) * ps0[None, None]
+        chi1 = jnp.asarray(c1, self.dtype) * ps1[None, None]
+        return chi0, (chi1 - chi0) / dtbdy
 
     def init_from_icbc(self, reader):
         """Cold start from the ICBC record at mdate1 (mod_init cold)."""
@@ -394,12 +455,14 @@ class Model:
         ps1, u1, v1, t1, qv1, _ = self._icbc_to_state_fields(rec1)
         if i1 == i0:      # end of file: hold boundary constant
             dtbdy = 1.0
+        chi0, chit = self._chbc_pair(self.date, d1, ps0, ps1, dtbdy)
         self.bdy = BdyState(
             ps0=ps0, pst=(ps1 - ps0) / dtbdy,
             t0=t0, tt=(t1 - t0) / dtbdy,
             qv0=qv0, qvt=(qv1 - qv0) / dtbdy,
             u0=u0, ut=(u1 - u0) / dtbdy,
-            v0=v0, vt=(v1 - v0) / dtbdy)
+            v0=v0, vt=(v1 - v0) / dtbdy,
+            chi0=chi0, chit=chit)
         self.xbctime = 0.0
 
     def run_icbc(self, nsteps: int):

@@ -431,3 +431,106 @@ def test_self_nesting_pipeline(cfg, tmp_path):
     mf.init_from_icbc(ICBCReader(path, fcfg.globdat.calendar))
     mf.run_icbc(3)
     assert mf.check_finite()
+
+
+def test_ensemble_perturbation(cfg, tmp_path):
+    """randify ensemble ICBC perturbation (Share/mod_ensemble.F90 via
+    mod_ncio.F90:863-940): multiplicative, bounded by the requested
+    fraction, off unless ensemble_run, reproducible via seed."""
+    import copy
+    from regcm_tpu.driver import Model
+    topo, _, _ = synthetic_topo(cfg, kind="flat")
+    icbc = str(tmp_path / "e_ICBC.nc")
+    generate_synthetic_icbc(cfg, topo, icbc, jet=8.0)
+
+    def state_t(c):
+        m = Model(c)
+        m.init_from_icbc(ICBCReader(icbc))
+        return np.asarray(m.state.t_b), np.asarray(m.state.u_b)
+
+    base_t, base_u = state_t(copy.deepcopy(cfg))
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.globdat.ensemble_run = True
+    cfg2.perturb.lperturb_t = True
+    cfg2.perturb.lperturb_u = True
+    cfg2.perturb.perturb_frac_t = 0.002
+    cfg2.perturb.perturb_frac_u = 0.1
+    cfg2.perturb.extras["seed"] = 7
+    t1, u1 = state_t(cfg2)
+    assert np.any(t1 != base_t)
+    assert np.any(u1 != base_u)
+    # multiplicative bound: |dT|/T <= frac on the raw (uncoupled) read;
+    # coupling by ps preserves the relative bound
+    rel = np.abs(t1 - base_t) / np.maximum(np.abs(base_t), 1e-30)
+    assert float(rel.max()) <= 0.002 + 1e-12
+    # same seed → same member; different seed → different member
+    t1b, _ = state_t(copy.deepcopy(cfg2))
+    np.testing.assert_array_equal(t1, t1b)
+    cfg3 = copy.deepcopy(cfg2)
+    cfg3.perturb.extras["seed"] = 8
+    t2, _ = state_t(cfg3)
+    assert np.any(t2 != t1)
+    # ensemble_run off → perturbparam ignored (mod_dynparam.F90:711)
+    cfg4 = copy.deepcopy(cfg2)
+    cfg4.globdat.ensemble_run = False
+    t4, _ = state_t(cfg4)
+    np.testing.assert_array_equal(t4, base_t)
+
+
+def test_chem_icbc_climatology(tmp_path):
+    """chem_icbc climatic BCs (PreProc/ICBC/mod_ch_icbc_clim.F90): a
+    DUST run relaxes its inflow boundaries toward non-clean
+    climatological air instead of zero."""
+    import copy
+    import jax.numpy as jnp
+    from regcm_tpu.preproc.chem_icbc import (generate_chem_icbc,
+                                             CHBCReader, climatic_chi)
+    from regcm_tpu.chem.species import build_species
+    from regcm_tpu.driver import Model
+    from regcm_tpu.utils.vertical import sigma_levels
+
+    c2 = RegCMConfig.from_file("/root/reference/Testing/test_008.in")
+    c2.dim.iy, c2.dim.jx = 20, 28
+    c2.globdat.gdate1 = 1990060100
+    c2.globdat.gdate2 = 1990060200
+    c2.restart.mdate1 = 1990060100
+    c2.restart.mdate2 = 1990060200
+
+    # generator sanity: dust decays upward, month cycle is smooth
+    spec = build_species(c2.chem.chemsimtype)
+    _, sh, _ = sigma_levels(c2.dim.kz, c2.dim.dsmax, c2.dim.dsmin)
+    lat = np.linspace(-60, 60, 7)[:, None] * np.ones((1, 3))
+    jan = climatic_chi(spec, sh, lat, 1)
+    jul = climatic_chi(spec, sh, lat, 7)
+    assert jan.shape == (spec.ntr, c2.dim.kz, 7, 3)
+    assert (jan[0, -1] >= jan[0, 0]).all()        # more dust near sfc
+    assert np.any(jan != jul)                      # seasonal cycle
+    assert jan.max() > 0.0
+
+    topo, _, _ = synthetic_topo(c2, kind="flat")
+    icbc = str(tmp_path / "c_ICBC.nc")
+    generate_synthetic_icbc(c2, topo, icbc, jet=6.0)
+    chbc = str(tmp_path / "c_CHBC.nc")
+    generate_chem_icbc(c2, chbc)
+    r = CHBCReader(chbc)
+    assert r.nrec() == 5
+    rec, _ = r.record_at(Date.from_int(1990060112))
+    assert rec.shape[0] == spec.ntr and rec.max() > 0.0
+
+    def run(with_chbc):
+        m = Model(copy.deepcopy(c2))
+        m.init_from_icbc(ICBCReader(icbc))
+        if with_chbc:
+            m.set_chem_bc(CHBCReader(chbc))
+        m.run_icbc(6)
+        assert m.check_finite()
+        return np.asarray(m.state.chi_b)
+
+    chi_bc = run(True)
+    chi_clean = run(False)
+    # the CHBC-relaxed run carries climatological dust in from the
+    # boundary ring; the clean run only has local emission
+    edge_bc = np.abs(chi_bc[:, -1, :2, :]).max()
+    edge_clean = np.abs(chi_clean[:, -1, :2, :]).max()
+    assert edge_bc > edge_clean
+    assert chi_bc.max() > 1e-12
