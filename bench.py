@@ -134,10 +134,21 @@ def _alarmed_physics_timing(core, s, bdy, mu, cfg, dtsec, physics,
         return out
 
     if physics:
-        # warm the held-tendency + absorptivity caches
+        # warm the held-tendency + absorptivity caches (retry once on
+        # transient tunnel faults)
         warm = StepFlags(do_rad=True, do_srf=True, do_cum=True,
                          do_abem=True)
-        s = jax.jit(lambda sc: step(sc, bdy, xt, dt, warm, mu)[0])(s)
+        warm_fn = jax.jit(lambda sc: step(sc, bdy, xt, dt, warm,
+                                          mu)[0])
+        try:
+            s = warm_fn(s)
+            jax.block_until_ready(s)
+        except Exception as e:
+            print(f"# warm step failed ({type(e).__name__}); retry",
+                  flush=True)
+            import time as _t
+            _t.sleep(5.0)
+            s = warm_fn(s)
     t_base = _time_fn(multi, s, max(nsteps // chunk, 1), chunk)
     if not physics:
         return t_base, {}, multi, s
@@ -153,14 +164,45 @@ def _alarmed_physics_timing(core, s, bdy, mu, cfg, dtsec, physics,
             return ns, ()
         fn = jax.jit(lambda sc: jax.lax.scan(
             body, sc, None, length=chunk)[0])
-        return _time_fn(fn, s, nrep, chunk)
+        try:
+            return _time_fn(fn, s, nrep, chunk)
+        finally:
+            # drop the stage executable (and its temp arena) before
+            # compiling the next one — the radiation stages at
+            # flagship size otherwise push accumulated HBM arenas
+            # into tunnel device errors
+            try:
+                fn.clear_cache()
+            except Exception:
+                pass
 
-    t_cum = one(StepFlags(do_rad=False, do_srf=False, do_cum=True), 2)
-    t_srf = one(StepFlags(do_rad=False, do_srf=True, do_cum=False), 2)
-    t_rad = one(StepFlags(do_rad=True, do_srf=False, do_cum=False,
-                          do_abem=False), 2)
-    t_abem = one(StepFlags(do_rad=True, do_srf=False, do_cum=False,
-                           do_abem=True), 1)
+    # The tunneled TPU backend occasionally raises UNAVAILABLE device
+    # errors under sustained flagship-sized load; a failed class
+    # timing falls back to the base cost (i.e. zero extra for that
+    # class) and is flagged in the record rather than killing the
+    # whole bench.
+    failed = []
+
+    def one_safe(name, flags, nrep):
+        import time as _t
+        for attempt in range(2):
+            try:
+                return one(flags, nrep)
+            except Exception as e:               # jax UNAVAILABLE etc
+                print(f"# {name} timing attempt {attempt} failed: "
+                      f"{type(e).__name__}", flush=True)
+                _t.sleep(5.0)
+        failed.append(name)
+        return t_base
+
+    t_cum = one_safe("cum", StepFlags(do_rad=False, do_srf=False,
+                                      do_cum=True), 2)
+    t_srf = one_safe("srf", StepFlags(do_rad=False, do_srf=True,
+                                      do_cum=False), 2)
+    t_rad = one_safe("rad", StepFlags(do_rad=True, do_srf=False,
+                                      do_cum=False, do_abem=False), 2)
+    t_abem = one_safe("abem", StepFlags(do_rad=True, do_srf=False,
+                                        do_cum=False, do_abem=True), 1)
     ncum = max(int(round(max(cfg.time.dtcum, dtsec) / dtsec)), 1)
     nsrf = max(int(round(cfg.time.dtsrf / dtsec)), 1)
     nrad = max(int(round(cfg.time.dtrad_sec / dtsec)), 1)
@@ -171,6 +213,8 @@ def _alarmed_physics_timing(core, s, bdy, mu, cfg, dtsec, physics,
                 + max(t_rad - t_base, 0.0) / nrad
                 + max(t_abem - t_rad, 0.0) / nabem)
     extra = {"base_ms": round(t_base * 1e3, 3),
+             **({"classes_failed": ",".join(failed)} if failed
+                else {}),
              "cum_ms": round(t_cum * 1e3, 3), "ncum": ncum,
              "srf_ms": round(t_srf * 1e3, 3), "nsrf": nsrf,
              "rad_ms": round(t_rad * 1e3, 3), "nrad": nrad,

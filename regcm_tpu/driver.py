@@ -559,25 +559,27 @@ class Model:
         return all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
 
     def decoupled(self) -> Dict[str, np.ndarray]:
+        """Physical-unit prognostics on the host. The decoupling math
+        runs on device and the whole dict crosses in ONE batched
+        jax.device_get — at flagship scale the per-variable
+        np.asarray round-trips used to dominate the output alarm."""
         s = self.state
         if self.idynamic == 3:
             # MOLOCH prognostics are already physical; winds face→cross
             ux, vx = self.core.uvstag2x(s.u, s.v)
             atms = self.core.mkslice(s.t, s.pai, s.qx, s.u, s.v, s.w)
-            return dict(
-                ps=np.asarray(atms["ps2d"]) / 100.0,      # hPa
-                t=np.asarray(s.t), qv=np.asarray(s.qx[0]),
-                qc=np.asarray(s.qx[1]),
-                u=np.asarray(ux), v=np.asarray(vx),
-                w=np.asarray(s.w))
-        rps = 1.0 / np.asarray(s.ps_a)
+            return jax.device_get(dict(
+                ps=atms["ps2d"] / 100.0,                  # hPa
+                t=s.t, qv=s.qx[0], qc=s.qx[1],
+                u=ux, v=vx, w=s.w))
         from .dynamics.stencil import cross2dot
-        rpsd = 1.0 / np.asarray(cross2dot(s.ps_a))
-        return dict(
-            ps=(np.asarray(s.ps_a) + self.grid.ptop) * 10.0,  # hPa
-            t=np.asarray(s.t_a) * rps[None],
-            qv=np.asarray(s.qx_a[IQV]) * rps[None],
-            qc=np.asarray(s.qx_a[IQC]) * rps[None],
-            u=np.asarray(s.u_a) * rpsd[None],
-            v=np.asarray(s.v_a) * rpsd[None],
-        )
+        rps = 1.0 / s.ps_a
+        rpsd = 1.0 / cross2dot(s.ps_a)
+        return jax.device_get(dict(
+            ps=(s.ps_a + self.grid.ptop) * 10.0,          # hPa
+            t=s.t_a * rps[None],
+            qv=s.qx_a[IQV] * rps[None],
+            qc=s.qx_a[IQC] * rps[None],
+            u=s.u_a * rpsd[None],
+            v=s.v_a * rpsd[None],
+        ))

@@ -1,4 +1,5 @@
-"""Model output streams (ATM / SRF / RAD / STS / LAK / SUB / CHE).
+"""Model output streams (ATM / SRF / RAD / STS / LAK / SUB / CHE /
+OPT / SLABOC).
 
 Mirrors the reference stream system (stream ids
 ``Main/mpplib/mod_ncout.F90:143-152``, variable inventory
@@ -17,6 +18,16 @@ reads the files:
   each simulated-day boundary (``sts_*`` of mod_outvars);
 - LAK (lakemod=1): lake surface temperature, ice, snow and the tlake
   profile.
+
+- SUB (nsg>1): per-subcell BATS pack slices;
+- CHE (ichem=1): decoupled tracer mixing ratios, column burdens and
+  accumulated emission/deposition fluxes;
+- OPT (ichem=1, aerosols): visible-band extinction profile + column
+  AOD from the aerosol mixture optics;
+- SLABOC (islab_ocean=1): prognostic SST and the restoring q-flux.
+
+Each writer does device-side decoupling math and at most two batched
+``jax.device_get`` calls per alarm (no per-variable round trips).
 
 Restart semantics: ``append=True`` reopens the existing stream files
 and appends records (``doing_restart``, ``Main/mod_output.F90:99``) so
@@ -45,9 +56,33 @@ class OutputStreams:
     """ATM/SRF/RAD/STS[/LAK] NetCDF streams for a model run."""
 
     def __init__(self, model, outdir: str, domname: str = "domain",
-                 append: bool = False):
+                 append: bool = False, async_write: bool = True):
         self.model = model
         self.outdir = outdir
+        # async writer: NetCDF encoding/disk IO happens on a worker
+        # thread so flagship-scale output alarms overlap the next
+        # device steps (records are host numpy copies, handed off by
+        # reference; close() drains the queue)
+        self._wq = None
+        if async_write:
+            import queue
+            import threading
+            self._wq = queue.Queue(maxsize=16)
+
+            def _worker():
+                while True:
+                    item = self._wq.get()
+                    if item is None:
+                        return
+                    writer, hours, rec = item
+                    try:
+                        writer.write_record(hours, rec)
+                    finally:
+                        self._wq.task_done()
+
+            self._wthread = threading.Thread(target=_worker,
+                                             daemon=True)
+            self._wthread.start()
         os.makedirs(outdir, exist_ok=True)
         g = model.grid
         iy, jx, kz = g.iy, g.jx, g.kz
@@ -338,7 +373,7 @@ class OutputStreams:
              jax.device_get(self._sts).items()}
         n = max(self._sts_n, 1)
         secs = n * m.dtsec
-        self.sts.write_record(_hours_since_epoch(m.date), {
+        self._put(self.sts, _hours_since_epoch(m.date), {
             "tgmax": d["tgmax"], "tgmin": d["tgmin"],
             "pcpavg": (d["_rainprev"] - d["_rain0"]) / secs,
             "pcpmax": d["pcpmax"],
@@ -348,8 +383,9 @@ class OutputStreams:
 
     # -- per-alarm writers ----------------------------------------------
     def write_atm(self):
+        import jax
         m = self.model
-        dec = m.decoupled()
+        dec = m.decoupled()                       # one batched fetch
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
         # uvrot2d (mod_output.F90:263): model-relative → earth-relative
@@ -360,63 +396,80 @@ class OutputStreams:
                "hus": cut(dec["qv"]), "clw": cut(dec["qc"]),
                "ps": cut(dec["ps"])}
         s = m.state
+        # remaining fields: device-side math, one more batched fetch
+        dev = {}
         if m.idynamic == 3:
             # zita core: output resolved w on half levels as proxy
-            rec["wa"] = cut(0.5 * (np.asarray(s.w)[:-1]
-                                   + np.asarray(s.w)[1:]))
+            dev["wa"] = 0.5 * (s.w[:-1] + s.w[1:])
             if self.nqx == 5:
-                rec["clr"] = cut(s.qx[2])
-                rec["cli"] = cut(s.qx[3])
-                rec["cls"] = cut(s.qx[4])
+                dev["clr"], dev["cli"], dev["cls"] = (
+                    s.qx[2], s.qx[3], s.qx[4])
         else:
-            rps = 1.0 / np.asarray(s.ps_a)
+            rps = 1.0 / s.ps_a
             if self.nqx == 5:
-                rec["clr"] = cut(s.qx_a[2] * rps[None])
-                rec["cli"] = cut(s.qx_a[3] * rps[None])
-                rec["cls"] = cut(s.qx_a[4] * rps[None])
+                dev["clr"] = s.qx_a[2] * rps[None]
+                dev["cli"] = s.qx_a[3] * rps[None]
+                dev["cls"] = s.qx_a[4] * rps[None]
             if self.has_tke:
-                rec["tke"] = cut(s.tke_a[:m.grid.kz])
+                dev["tke"] = s.tke_a[:m.grid.kz]
             om = getattr(m, "last_diags", {}).get("omega", None)
-            rec["wa"] = cut(om) * 10.0 if om is not None else \
-                np.zeros((m.grid.kz, iy - 1, jx - 1))
-        self.atm.write_record(_hours_since_epoch(m.date), rec)
+            if om is not None:
+                dev["wa"] = om * 10.0
+        host = jax.device_get(dev)
+        rec.update({k: cut(v) for k, v in host.items()})
+        if "wa" not in rec:
+            rec["wa"] = np.zeros((m.grid.kz, iy - 1, jx - 1))
+        self._put(self.atm, _hours_since_epoch(m.date), rec)
 
     def write_srf(self):
+        import jax
         m = self.model
         s = m.state
-        dec = m.decoupled()
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
-        rain = np.asarray(s.rainnc) + np.asarray(s.rainc)
-        rainc = np.asarray(s.rainc)
+        dev = dict(rain=s.rainnc + s.rainc, rainc=s.rainc, ts=s.tg,
+                   qfx=s.qfx, hfx=s.hfx, uvdrag=s.uvdrag,
+                   swsfc=s.swsfc, lwsfc=s.lwsfc)
+        if m.idynamic == 3:
+            dev["ps"] = m.core.mkslice(
+                s.t, s.pai, s.qx, s.u, s.v, s.w)["ps2d"] / 100.0
+        else:
+            dev["ps"] = (s.ps_a + m.grid.ptop) * 10.0
+        if self.has_bats:
+            dev["bats"] = s.bats
+        h = jax.device_get(dev)                   # one batched fetch
+        rain = h["rain"]
+        rainc = h["rainc"]
         frq = m.cfg.out.srffrq * 3600.0
         pr = (cut(rain) - self._last_rain) / max(frq, 1.0)
         prc = (cut(rainc) - self._last_rainc) / max(frq, 1.0)
         self._last_rain = cut(rain)
         self._last_rainc = cut(rainc)
-        rec = {"ts": cut(s.tg), "tpr": pr, "prcv": prc,
-               "evspsbl": cut(s.qfx), "hfss": cut(s.hfx),
-               "uvdrag": cut(s.uvdrag), "rsns": cut(s.swsfc),
-               "rlns": cut(s.lwsfc), "ps": cut(dec["ps"])}
+        rec = {"ts": cut(h["ts"]), "tpr": pr, "prcv": prc,
+               "evspsbl": cut(h["qfx"]), "hfss": cut(h["hfx"]),
+               "uvdrag": cut(h["uvdrag"]), "rsns": cut(h["swsfc"]),
+               "rlns": cut(h["lwsfc"]), "ps": cut(h["ps"])}
         if self.has_bats:
             # with nsg>1 the pack is per-subcell: SRF carries the
             # subcell mean, SUB the full distribution
             agg = (lambda a: cut(a).mean(axis=0)) if self.nnsg > 1 \
                 else cut
-            rec["scv"] = agg(s.bats[4])
-            rec["smu"] = agg(s.bats[6])
-            rec["smr"] = agg(s.bats[7])
-            rec["tlef"] = agg(s.bats[1])
-        self.srf.write_record(_hours_since_epoch(m.date), rec)
+            rec["scv"] = agg(h["bats"][4])
+            rec["smu"] = agg(h["bats"][6])
+            rec["smr"] = agg(h["bats"][7])
+            rec["tlef"] = agg(h["bats"][1])
+        self._put(self.srf, _hours_since_epoch(m.date), rec)
 
     def write_rad(self):
+        import jax
         m = self.model
         s = m.state
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
-        self.rad.write_record(_hours_since_epoch(m.date), {
-            "rsns": cut(s.swsfc), "rlns": cut(s.lwsfc),
-            "tendh": cut(s.heatrt)})
+        h = jax.device_get(dict(rsns=s.swsfc, rlns=s.lwsfc,
+                                tendh=s.heatrt))
+        self._put(self.rad, _hours_since_epoch(m.date),
+                              {k: cut(v) for k, v in h.items()})
 
     def write_lak(self):
         if self.lak is None:
@@ -425,7 +478,7 @@ class OutputStreams:
         s = m.state
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
-        self.lak.write_record(_hours_since_epoch(m.date), {
+        self._put(self.lak, _hours_since_epoch(m.date), {
             "tg": cut(s.tlak[0] + 273.15), "ice": cut(s.lakice),
             "scv": cut(s.laksnow), "tlake": cut(s.tlak)})
 
@@ -438,18 +491,22 @@ class OutputStreams:
         s = m.state
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
-        rps = 1.0 / np.asarray(s.ps_a)
-        chi = np.asarray(s.chi_a) * rps[None, None]
-        dsig = np.asarray(m.grid.dsigma)[None, :, None, None]
-        burden = (np.asarray(s.chi_a) * dsig).sum(axis=1) \
-            * 1000.0 / 9.80665
+        import jax
+        import jax.numpy as jnp
+        dsig = jnp.asarray(np.asarray(m.grid.dsigma))[None, :, None,
+                                                      None]
+        h = jax.device_get(dict(
+            chi=s.chi_a / s.ps_a[None, None],
+            burden=(s.chi_a * dsig).sum(axis=1) * 1000.0 / 9.80665,
+            diag=s.chemdiag))                     # one batched fetch
+        chi = h["chi"]
         rec = {f"mixrat_{nm.lower()}": cut(chi[i])
                for i, nm in enumerate(self.chnames)}
-        rec["burden"] = cut(burden)
-        rec["emflx_acc"] = cut(np.asarray(s.chemdiag[0]))
-        rec["ddflx_acc"] = cut(np.asarray(s.chemdiag[1]))
-        rec["wdflx_acc"] = cut(np.asarray(s.chemdiag[2]))
-        self.che.write_record(_hours_since_epoch(m.date), rec)
+        rec["burden"] = cut(h["burden"])
+        rec["emflx_acc"] = cut(h["diag"][0])
+        rec["ddflx_acc"] = cut(h["diag"][1])
+        rec["wdflx_acc"] = cut(h["diag"][2])
+        self._put(self.che, _hours_since_epoch(m.date), rec)
 
     def write_opt(self):
         """OPT record: visible-band extinction profile + column AOD
@@ -490,7 +547,7 @@ class OutputStreams:
         dz = np.maximum(287.0 * tv / 9.80665
                         * np.log(np.maximum(pint[1:], 1.0)
                                  / np.maximum(pint[:-1], 1.0)), 1.0)
-        self.opt.write_record(_hours_since_epoch(m.date), {
+        self._put(self.opt, _hours_since_epoch(m.date), {
             "aext8": cut(tau / dz), "aod": cut(tau.sum(0))})
 
     def write_slaboc(self):
@@ -510,7 +567,7 @@ class OutputStreams:
             ocmask & sp.do_restore_sst,
             (np.asarray(m.core.sst) - np.asarray(s.tg)) * mlcp
             / (sp.sst_restore_timescale * 86400.0), 0.0)
-        self.slaboc.write_record(_hours_since_epoch(m.date), {
+        self._put(self.slaboc, _hours_since_epoch(m.date), {
             "sst": cut(np.where(ocmask, np.asarray(s.tg), 0.0)),
             "qflx_restore": cut(qflx)})
 
@@ -522,11 +579,26 @@ class OutputStreams:
         s = m.state
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
-        self.sub.write_record(_hours_since_epoch(m.date), {
+        self._put(self.sub, _hours_since_epoch(m.date), {
             "tg_sub": cut(s.bats[0]), "tlef_sub": cut(s.bats[1]),
             "scv_sub": cut(s.bats[4]), "smu_sub": cut(s.bats[6])})
 
+    def _put(self, writer, hours, rec):
+        if self._wq is None:
+            writer.write_record(hours, rec)
+        else:
+            self._wq.put((writer, hours, rec))
+
+    def flush(self):
+        if self._wq is not None:
+            self._wq.join()
+
     def close(self):
+        if self._wq is not None:
+            self._wq.join()
+            self._wq.put(None)
+            self._wthread.join()
+            self._wq = None
         self.atm.close()
         self.srf.close()
         self.rad.close()

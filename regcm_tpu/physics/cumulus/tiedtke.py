@@ -10,17 +10,23 @@ ddrafdsc :6389, dtdqc :6521, dudvx :6694, cfluxes :6840, moistadj
 over the small static ``nk`` (each iteration is one fused dense
 update); every conditional is `jnp.where` masking.
 
-Scope notes (documented deviations):
-* lmfsmooth=.false. (reference default — no tracer-flux smoothing);
+Feature flags (&tiedtkeparam, defaults mod_params.F90:450-457):
+* lmfmid (default on): midlevel convection (mcbase, ktype=3) starts a
+  fresh updraft inside the ascent scan where no convection exists;
+  requires ``omega`` — without it midlevel is disabled;
+* lmfsmooth (default off): smooths the tracer-transport mass fluxes
+  at draught edges (:5387-5417) before ``ctracer``;
 * the ctracer convective tracer transport IS ported (``ctracer``
-  below, mod_cu_tiedtke.F90:7120; exercised by tests/test_chem.py);
+  below, mod_cu_tiedtke.F90:7549; exercised by tests/test_chem.py) and
+  excludes ktype=3 columns like the reference (:5347).
+
+Scope notes (documented deviations):
 * llconscheck diagnostics omitted;
 * lmfwstar=.false. (reference default);
-* midlevel convection (mcbase, ktype=3) not yet triggered — deep and
-  shallow types only;
-* the reference picks its 350/60/950 hPa marker levels from the
-  instantaneous domain-mean column; under jit those must be static,
-  so they come from the standard-atmosphere sigma profile instead.
+* the reference picks its 350/60/950 hPa marker levels (and the
+  cmcptop midlevel ceiling) from the instantaneous domain-mean
+  column; under jit those must be static, so they come from the
+  standard-atmosphere sigma profile instead.
 All tunables take the reference's mod_params defaults (:427-458).
 """
 from __future__ import annotations
