@@ -179,10 +179,16 @@ class MolochCore:
         self.dx = float(g.ds)
         self.dtsec = cfg.dtsec
         self.nadv = cfg.moloch.mo_nadv
-        # Pallas hot-path kernels on TPU (extras pallas=0 opts out)
+        # Pallas hot-path kernels on TPU (extras pallas=0 opts out).
+        # Multi-device runs must register their mesh via set_mesh():
+        # a plain pallas_call under a GSPMD-sharded jit does not
+        # partition, so with a mesh the shard_map-wrapped kernels
+        # (pallas_kernels.waf_advect_sharded / tridiag_w_sharded,
+        # explicit ppermute halos) are used instead.
         from .pallas_kernels import tpu_available
         self.use_pallas = bool(int(cfg.physics.extras.get(
             "pallas", 1))) and tpu_available()
+        self.mesh = None
         self._waf_k3 = None       # dt-free WAF coefficients (lazy)
         self.nsound = cfg.moloch.mo_nsound
         self.a0 = cfg.moloch.mo_a0
@@ -332,6 +338,15 @@ class MolochCore:
             zeta_v > ztop_v - self.rayhd,
             self.rayalpha0 * np.sin(0.5 * np.pi * (
                 1.0 - (ztop_v - zeta_v) / self.rayhd)) ** 2, 0.0))
+
+    # ------------------------------------------------------------------
+    def set_mesh(self, mesh):
+        """Register the device mesh for multi-chip runs.  With >1
+        device the Pallas hot-path kernels switch to their shard_map
+        wrappers (explicit ppermute halos) — a bare pallas_call under
+        GSPMD would silently all-gather the domain into every chip."""
+        self.mesh = mesh
+        return self
 
     # ------------------------------------------------------------------
     def initial_state(self, perturb=0.0, bubble=None, seed=0
@@ -536,8 +551,12 @@ class MolochCore:
                 # fused up/down Thomas sweeps with the column in VMEM
                 # (pallas_kernels.tridiag_w) — one HBM round trip
                 # instead of the two scans' operand materializations
-                from .pallas_kernels import tridiag_w
-                w_new_int = tridiag_w(wexpl, zm, zp, w[kz])
+                from .pallas_kernels import tridiag_w, tridiag_w_sharded
+                if self.mesh is not None and self.mesh.devices.size > 1:
+                    w_new_int = tridiag_w_sharded(self.mesh, wexpl,
+                                                  zm, zp, w[kz])
+                else:
+                    w_new_int = tridiag_w(wexpl, zm, zp, w[kz])
             else:
                 # upward sweep: K = kz-1 .. 1 (0-based interfaces)
                 def up_body(carry, K):
@@ -844,11 +863,20 @@ class MolochCore:
                 # (pallas_kernels.waf_advect): halo windows in VMEM,
                 # one HBM round trip per field instead of the ~10
                 # materialized temporaries per sweep
-                from .pallas_kernels import waf_advect
-                adv = waf_advect(
-                    fields, u * self.rmu[None], v * self.rmv[None],
-                    s, self.fmz, self.fmzf, self.mx2, self.m_ci,
-                    dtstepa / self.dx, dtstepa / self.dz)
+                from .pallas_kernels import waf_advect, \
+                    waf_advect_sharded
+                if self.mesh is not None and self.mesh.devices.size > 1:
+                    adv = waf_advect_sharded(
+                        self.mesh, fields, u * self.rmu[None],
+                        v * self.rmv[None], s, self.fmz, self.fmzf,
+                        self.mx2, self.m_ci, dtstepa / self.dx,
+                        dtstepa / self.dz)
+                else:
+                    adv = waf_advect(
+                        fields, u * self.rmu[None],
+                        v * self.rmv[None], s, self.fmz, self.fmzf,
+                        self.mx2, self.m_ci, dtstepa / self.dx,
+                        dtstepa / self.dz)
             else:
                 adv = jax.vmap(
                     lambda fld: self._wafone(fld, u, v, s,

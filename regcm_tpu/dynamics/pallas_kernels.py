@@ -12,10 +12,14 @@ Backend gating: the kernels run on TPU; everywhere else the caller's
 pure-``lax``/XLA path is used (and the equivalence tests run the
 kernels in interpreter mode against it).  Measured on a single v5e
 chip, 192×192×41 f32: dynamics-only step 10.35 → 6.03 ms (−42%) —
-tridiag_w alone −32%, waf_advect the rest.  NOTE: pallas_call under a
-plain GSPMD-sharded jit does not partition; multi-chip runs keep the
-XLA path (extras pallas=0) until the kernels are wrapped in
-shard_map.
+tridiag_w alone −32%, waf_advect the rest.
+
+Multi-chip: a bare ``pallas_call`` under a GSPMD-sharded jit does not
+partition (it would all-gather the full domain into every chip), so
+``waf_advect_sharded`` / ``tridiag_w_sharded`` wrap the kernels in
+``jax.shard_map`` — width-2 halos move via ``lax.ppermute`` ring
+shifts (parallel/halo.py) and the domain-edge overrides key on global
+offsets fed through SMEM.  MolochCore.set_mesh() selects them.
 """
 from __future__ import annotations
 
@@ -111,7 +115,7 @@ def _limiter(amu, f_up2, f_up1, f_c, f_d):
     return is_ + amu * b - is_ * b
 
 
-def _waf_kernel(scal_ref, pp_hbm, wind_hbm, s_hbm, fmz_hbm,
+def _waf_kernel(scal_ref, off_ref, pp_hbm, wind_hbm, s_hbm, fmz_hbm,
                 fmzf_hbm, c2d_hbm, out_ref, ppv, windv, sv, fmzv,
                 fmzfv, c2v, outv, sems, *, nf, kz, by, wx, iy, jx,
                 y_pad):
@@ -124,6 +128,12 @@ def _waf_kernel(scal_ref, pp_hbm, wind_hbm, s_hbm, fmz_hbm,
     fmz/fmzf (shifte() semantics); the y window starts sublane-
     aligned at i·by and spans by + 2·y_pad rows.
 
+    `iy`/`jx` are the GLOBAL domain sizes and ``off_ref`` holds the
+    [y, x] global offset of this device's block (0 when unsharded, or
+    fed from ``lax.axis_index`` inside shard_map) — the domain-edge
+    row overrides key on global indices, so only edge-owning shards
+    apply them.
+
     pp_hbm (nf, kz, Y, wx); wind (2, kz, Y, wx) [um, vm];
     s (kz+1, Y, wx); fmz (kz, Y, wx); fmzf (kz+1, Y, wx);
     c2d (2, Y, wx) [mx2, m_ci]."""
@@ -132,6 +142,8 @@ def _waf_kernel(scal_ref, pp_hbm, wind_hbm, s_hbm, fmz_hbm,
     wy = by + 2 * y_pad
     dtrdx = scal_ref[0]
     dtrdz = scal_ref[1]
+    y_off = off_ref[0]
+    x_off = off_ref[1]
 
     copies = [
         pltpu.make_async_copy(
@@ -184,9 +196,10 @@ def _waf_kernel(scal_ref, pp_hbm, wind_hbm, s_hbm, fmz_hbm,
             a = jnp.concatenate([a[:, :, :1], a[:, :, :-1]], axis=2)
         return a
 
-    gy = y0 - y_pad + jax.lax.broadcasted_iota(
+    gy = y_off + y0 - y_pad + jax.lax.broadcasted_iota(
         jnp.int32, (1, wy, wx), 1)
-    gx = -2 + jax.lax.broadcasted_iota(jnp.int32, (1, wy, wx), 2)
+    gx = x_off - 2 + jax.lax.broadcasted_iota(jnp.int32, (1, wy, wx),
+                                              2)
 
     for f in range(nf):
         cp = pltpu.make_async_copy(
@@ -262,15 +275,57 @@ def _waf_kernel(scal_ref, pp_hbm, wind_hbm, s_hbm, fmz_hbm,
         co.wait()
 
 
+def _waf_call(pp_p, wind, s_p, fmz_p, fmzf_p, c2d, offs, dtrdx, dtrdz,
+              giy, gjx, ly, lx, interpret, by):
+    """Invoke the WAF kernel on pre-padded (·, Y, wx) arrays.
+
+    ``ly``/``lx`` are the rows/cols to write back (the local block);
+    ``giy``/``gjx`` the global domain sizes; ``offs`` the int32 [y, x]
+    global offset of the block (SMEM)."""
+    nf, kz = pp_p.shape[:2]
+    dt = pp_p.dtype
+    y_pad = 8
+    ny = pl.cdiv(ly, by)
+    wx = pp_p.shape[-1]
+    scal = jnp.stack([jnp.asarray(dtrdx, dt), jnp.asarray(dtrdz, dt)])
+
+    import functools as _ft
+    kern = _ft.partial(_waf_kernel, nf=nf, kz=kz, by=by, wx=wx,
+                       iy=giy, jx=gjx, y_pad=y_pad)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    wy = by + 2 * y_pad
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nf, kz, ny * by, wx), dt),
+        grid=(ny,),
+        in_specs=[smem, smem] + [hbm] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((kz, wy, wx), dt),
+            pltpu.VMEM((2, kz, wy, wx), dt),
+            pltpu.VMEM((kz + 1, wy, wx), dt),
+            pltpu.VMEM((kz, wy, wx), dt),
+            pltpu.VMEM((kz + 1, wy, wx), dt),
+            pltpu.VMEM((2, wy, wx), dt),
+            pltpu.VMEM((kz, by, wx), dt),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, offs, pp_p, wind, s_p, fmz_p, fmzf_p, c2d)
+    return out[:, :, :ly, 2:2 + lx]
+
+
 def waf_advect(pp_fields, um, vm, s, fmz, fmzf, mx2, m_ci,
                dtrdx, dtrdz, interpret=False, by=8):
-    """Fused WAF advection for a stack of fields.
+    """Fused WAF advection for a stack of fields (single device).
 
     pp_fields (nf, kz, iy, jx); um/vm (kz, iy, jx) map-scaled winds;
     s (kz+1, iy, jx); fmz (kz, iy, jx) / fmzf (kz+1, iy, jx) metric
     factors; mx2/m_ci (iy, jx).  Returns (nf, kz, iy, jx)."""
     nf, kz, iy, jx = pp_fields.shape
-    dt = pp_fields.dtype
     y_pad = 8                         # sublane-aligned y halo (>= 2)
     ny = pl.cdiv(iy, by)
     ey = ny * by + y_pad - iy         # trailing y pad
@@ -285,40 +340,84 @@ def waf_advect(pp_fields, um, vm, s, fmz, fmzf, mx2, m_ci,
         return jnp.pad(a, ((0, 0),) * (a.ndim - 2)
                        + ((y_pad, ey), (2, ex)), mode="edge")
 
-    pp_p = padz(pp_fields)
-    wind = padz(jnp.stack([um, vm]))
-    s_p = padz(s)
-    fmz_p = pade(fmz)
-    fmzf_p = pade(fmzf)
-    c2d = padz(jnp.stack([mx2, m_ci]))
-    scal = jnp.stack([jnp.asarray(dtrdx, dt), jnp.asarray(dtrdz, dt)])
+    offs = jnp.zeros((2,), jnp.int32)
+    return _waf_call(
+        padz(pp_fields), padz(jnp.stack([um, vm])), padz(s),
+        pade(fmz), pade(fmzf), padz(jnp.stack([mx2, m_ci])),
+        offs, dtrdx, dtrdz, iy, jx, iy, jx, interpret, by)
 
-    import functools as _ft
-    kern = _ft.partial(_waf_kernel, nf=nf, kz=kz, by=by, wx=wx,
-                       iy=iy, jx=jx, y_pad=y_pad)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    wy = by + 2 * y_pad
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((nf, kz, ny * by, wx), dt),
-        grid=(ny,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [hbm] * 6,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((kz, wy, wx), dt),
-            pltpu.VMEM((2, kz, wy, wx), dt),
-            pltpu.VMEM((kz + 1, wy, wx), dt),
-            pltpu.VMEM((kz, wy, wx), dt),
-            pltpu.VMEM((kz + 1, wy, wx), dt),
-            pltpu.VMEM((2, wy, wx), dt),
-            pltpu.VMEM((kz, by, wx), dt),
-            pltpu.SemaphoreType.DMA((6,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(scal, pp_p, wind, s_p, fmz_p, fmzf_p, c2d)
-    return out[:, :, :iy, 2:2 + jx]
+
+def waf_advect_sharded(mesh, pp_fields, um, vm, s, fmz, fmzf, mx2,
+                       m_ci, dtrdx, dtrdz, interpret=False, by=8):
+    """WAF advection partitioned over a ('y', 'x') device mesh.
+
+    A plain ``pallas_call`` under a GSPMD-sharded jit does not
+    partition (it all-gathers the full domain into every chip's
+    kernel) — here the kernel runs inside ``shard_map``: width-2
+    halos move over ICI via ``lax.ppermute`` (parallel/halo.py), each
+    device runs the slab kernel on its local block + halo, and the
+    domain-edge row overrides key on the global offsets fed through
+    SMEM.  Bit-identical to ``waf_advect`` on one device (same sweep
+    arithmetic, same window layout)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.halo import halo_expand2d
+
+    nf, kz, iy, jx = pp_fields.shape
+    nyd, nxd = mesh.devices.shape
+    ly, lx = iy // nyd, jx // nxd
+    assert ly * nyd == iy and lx * nxd == jx, \
+        f"grid {iy}x{jx} not divisible by mesh {nyd}x{nxd}"
+    assert ly >= 4 and lx >= 4, \
+        "local block must be >= 4 so the 2-row domain-edge overrides " \
+        "stay within the owning shard's window"
+    h = 2
+    y_pad = 8
+    ny = pl.cdiv(ly, by)
+    ey = ny * by + y_pad - ly - h       # after leading y_pad-h + ext
+    wx = ((lx + 2 * h + 127) // 128) * 128
+    ex = wx - (lx + 2 * h)
+
+    def body(pp, uvw, s_, fz, fzf, c2):
+        yo = (jax.lax.axis_index("y") * ly).astype(jnp.int32)
+        xo = (jax.lax.axis_index("x") * lx).astype(jnp.int32)
+        offs = jnp.stack([yo, xo])
+        # halo exchange, then pad to the kernel's aligned layout:
+        # leading y_pad-h zero rows put the first REAL row at padded
+        # row y_pad, exactly like the unsharded padz/pade layout.
+        def prep(a, mode):
+            e = halo_expand2d(a, h, nyd, nxd, mode)
+            w = ((0, 0),) * (a.ndim - 2) + ((y_pad - h, ey), (0, ex))
+            return jnp.pad(e, w, mode="edge" if mode == "edge"
+                           else "constant")
+
+        return _waf_call(
+            prep(pp, "zero"), prep(uvw, "zero"), prep(s_, "zero"),
+            prep(fz, "edge"), prep(fzf, "edge"), prep(c2, "zero"),
+            offs, dtrdx, dtrdz, iy, jx, ly, lx, interpret, by)
+
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, "y", "x"), P(None, None, "y", "x"),
+                  P(None, "y", "x"), P(None, "y", "x"),
+                  P(None, "y", "x"), P(None, "y", "x")),
+        out_specs=P(None, None, "y", "x"), check_vma=False)
+    return sm(pp_fields, jnp.stack([um, vm]), s, fmz, fmzf,
+              jnp.stack([mx2, m_ci]))
+
+
+def tridiag_w_sharded(mesh, wexpl, zm, zp, w_bot, interpret=False):
+    """Column-local implicit-w solve under shard_map: each device runs
+    ``tridiag_w`` on its own (y, x) block — no halos needed."""
+    from jax.sharding import PartitionSpec as P
+
+    body = lambda a, b, c, d: tridiag_w(a, b, c, d,
+                                        interpret=interpret)
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, "y", "x"),) * 3 + (P("y", "x"),),
+        out_specs=P(None, "y", "x"), check_vma=False)
+    return sm(wexpl, zm, zp, w_bot)
 
 
 # ---------------------------------------------------------------------------

@@ -29,3 +29,34 @@ os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Suite tiering (VERDICT r4 next #9): the 8-device trajectory tests and
+# the stiff-ODE box oracles dominate suite wall time.  They run in the
+# `slow` tier — enabled with --runslow or REGCM_TPU_SLOW=1 — so the
+# default tier stays fast enough to run on every change.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier (8-device trajectories, box oracles)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tier; run with --runslow or REGCM_TPU_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("REGCM_TPU_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --runslow (or REGCM_TPU_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -185,3 +185,69 @@ def test_pallas_tridiag_w_equivalence():
     _, want = jax.lax.scan(dn_body, jnp.zeros_like(wbot),
                            jnp.arange(kz - 1))
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def _waf_inputs(core, seed=11):
+    """Random-but-smooth WAF operands on the core's grid."""
+    rng = np.random.default_rng(seed)
+    kz, iy, jx = core.kz, core.iy, core.jx
+    sm = lambda sh: jnp.asarray(
+        rng.normal(size=sh) + 10.0 * np.sin(
+            np.linspace(0, 3, np.prod(sh)).reshape(sh)))
+    fields = sm((3, kz, iy, jx))
+    u = 8.0 + sm((kz, iy, jx)) * 0.5
+    v = -5.0 + sm((kz, iy, jx)) * 0.5
+    s = sm((kz + 1, iy, jx)) * 0.1
+    return fields, u, v, s
+
+
+def test_pallas_waf_equivalence():
+    """The fused WAF kernel (interpret mode) matches the XLA _wafone
+    path (wafone, mod_moloch.F90:1098-1361) to f64 roundoff."""
+    from regcm_tpu.dynamics.pallas_kernels import waf_advect
+    core = _core(iy=16, jx=16, kz=14)
+    fields, u, v, s = _waf_inputs(core)
+    dta = core.dtsec / core.nadv
+    want = jax.vmap(lambda f: core._wafone(f, u, v, s, dta))(fields)
+    got = waf_advect(fields, u * core.rmu[None], v * core.rmv[None],
+                     s, core.fmz, core.fmzf, core.mx2, core.m_ci,
+                     dta / core.dx, dta / core.dz, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_waf_sharded_equivalence():
+    """shard_map-wrapped WAF kernel (explicit ppermute halos,
+    VERDICT r4 next #2) == the single-device kernel == the XLA path,
+    on the 8-device CPU mesh."""
+    from regcm_tpu.dynamics.pallas_kernels import (waf_advect,
+                                                  waf_advect_sharded)
+    from regcm_tpu.parallel.mesh import make_mesh
+    core = _core(iy=16, jx=16, kz=14)
+    fields, u, v, s = _waf_inputs(core)
+    dta = core.dtsec / core.nadv
+    args = (fields, u * core.rmu[None], v * core.rmv[None], s,
+            core.fmz, core.fmzf, core.mx2, core.m_ci,
+            dta / core.dx, dta / core.dz)
+    want = waf_advect(*args, interpret=True)
+    mesh = make_mesh()
+    got = waf_advect_sharded(mesh, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_tridiag_w_sharded_equivalence():
+    """Column-local implicit-w solve under shard_map == single-device."""
+    from regcm_tpu.dynamics.pallas_kernels import (tridiag_w,
+                                                   tridiag_w_sharded)
+    from regcm_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(3)
+    n, iy, jx = 13, 16, 16
+    wexpl = jnp.asarray(rng.normal(size=(n, iy, jx)))
+    zm = jnp.asarray(rng.uniform(0.01, 0.5, (n, iy, jx)))
+    zp = jnp.asarray(rng.uniform(0.01, 0.5, (n, iy, jx)))
+    wbot = jnp.asarray(rng.normal(size=(iy, jx)))
+    want = tridiag_w(wexpl, zm, zp, wbot, interpret=True)
+    mesh = make_mesh()
+    got = tridiag_w_sharded(mesh, wexpl, zm, zp, wbot, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
