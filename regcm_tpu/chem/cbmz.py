@@ -1,24 +1,11 @@
-"""CBMZ gas-phase kinetics solver — TPU-native formulation.
+"""CBMZ gas-phase kinetics — the generic batched Ros2 machinery
+(``kinetics.GasKinetics``) instantiated with the extracted CBMZ
+tensors (``_cbmz_mech_data``, from ``tools/extract_cbmz.py``).
 
 The reference integrates the KPP-generated CBMZ mechanism per grid
 cell with an adaptive-order LSODE/BDF (``mod_cbmz_integrator.F90``)
-at rtol = atol = 0.1 (``chemmain``, ``mod_cbmz_main.F90:92-95``).
-Here the same ODE system runs as a BATCHED adaptive two-stage
-Rosenbrock (Ros2, L-stable, Verwer et al. 1999 / the KPP Ros2 tableau)
-over all grid columns at once:
-
-- rates:   a_r = rconst_r · Π_s c[idx_{r,s}]   (gather + product)
-- vdot:    S @ a                               (MXU matmul, (58,124))
-- Jacobian: ∂a_r/∂c_j assembled per reactant slot as rconst·(product
-  of the other slots), scattered through constant one-hot matrices —
-  three einsums, exact, no autodiff retracing
-- stage solves: batched LU of P = I/(hγ) − J, two back-solves/step
-
-DOCUMENTED DEVIATION: LSODE → Rosenbrock.  At the reference's own
-loose tolerances the two integrators agree on the solution (enforced
-by the box-model oracle in tests/test_cbmz.py against scipy BDF at
-rtol 1e-8); a fixed-structure Rosenbrock is the jit/batch-friendly
-choice (data-dependent BDF order/step logic cannot batch on TPU).
+at rtol = atol = 0.1 (``chemmain``, ``mod_cbmz_main.F90:92-95``);
+see kinetics.py for the documented LSODE → Rosenbrock deviation.
 
 Peroxy-peroxy ``rk_param`` cross terms are dead code in the reference
 (``peroxyrateconstants`` result never enters ``update_rconst``) and
@@ -26,116 +13,13 @@ are omitted identically.
 """
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 from . import _cbmz_mech_data as M
+from .kinetics import GasKinetics
 
 NVAR, NFIX, NREACT = M.NVAR, M.NFIX, M.NREACT
 NTOT = NVAR + NFIX + 1          # + constant-1 slot
 
-# Ros2 tableau (gamma = 1 + 1/sqrt(2); KPP ros2 coefficients)
-_G = 1.0 + 1.0 / np.sqrt(2.0)
-_A21 = 1.0 / _G
-_C21 = -2.0 / _G
-_M1, _M2 = 3.0 / (2.0 * _G), 1.0 / (2.0 * _G)
-_E1, _E2 = 1.0 / (2.0 * _G), 1.0 / (2.0 * _G)
-
-# constant tensors
-_S = jnp.asarray(M.STOICH)                        # (58, 124)
-_IDX = jnp.asarray(M.REACT_IDX)                   # (124, 3)
-# per-slot one-hot scatter (124, 58): row r maps to column idx if the
-# slot holds a VARIABLE species (fixed/one slots don't enter J)
-_E = []
-for s in range(3):
-    e = np.zeros((NREACT, NVAR))
-    for r in range(NREACT):
-        ix = M.REACT_IDX[r, s]
-        if ix < NVAR:
-            e[r, ix] = 1.0
-    _E.append(jnp.asarray(e))
-
-
-def fun(var, fix, rconst):
-    """vdot (…, 58).  var (…, 58), fix (…, 2), rconst (…, 124)."""
-    one = jnp.ones(var.shape[:-1] + (1,), var.dtype)
-    c = jnp.concatenate([var, fix, one], axis=-1)
-    f = c[..., _IDX]                              # (…, 124, 3)
-    a = rconst * f[..., 0] * f[..., 1] * f[..., 2]
-    return a @ _S.T
-
-
-def jac(var, fix, rconst):
-    """Dense Jacobian (…, 58, 58) of fun w.r.t. var."""
-    one = jnp.ones(var.shape[:-1] + (1,), var.dtype)
-    c = jnp.concatenate([var, fix, one], axis=-1)
-    f = c[..., _IDX]                              # (…, 124, 3)
-    # d a / d slot_s = rconst * product of the other two slots
-    da0 = rconst * f[..., 1] * f[..., 2]
-    da1 = rconst * f[..., 0] * f[..., 2]
-    da2 = rconst * f[..., 0] * f[..., 1]
-    j = (jnp.einsum("vr,...r,rj->...vj", _S, da0, _E[0])
-         + jnp.einsum("vr,...r,rj->...vj", _S, da1, _E[1])
-         + jnp.einsum("vr,...r,rj->...vj", _S, da2, _E[2]))
-    return j
-
-
-@partial(jax.jit, static_argnames=("max_steps",))
-def integrate(var0, fix, rconst, tend, rtol=0.1, atol=0.1,
-              hstart=1.0e-5, hmin=1.0e-8, max_steps=120):
-    """Batched adaptive Ros2 from t=0 to tend.
-
-    var0 (n, 58) molec/cm³; fix (n, 2); rconst (n, 124); tend scalar
-    seconds.  Columns advance independently (masked); the loop exits
-    when every column reaches tend or max_steps is hit (remaining
-    columns keep their last state).  The integration starts at a tiny
-    h (1e-5 s) exactly because the radical spin-up from the zeroed
-    non-transported species (O3P/O1D, µs lifetimes) must be resolved
-    before the controller grows the step — the same path LSODE takes
-    from its small initial step; growth factor ≤10 reaches 900 s in
-    ~20 accepted steps."""
-    n = var0.shape[0]
-    dtype = var0.dtype
-    eye = jnp.eye(NVAR, dtype=dtype)
-
-    def cond(st):
-        t, y, h, it = st
-        return jnp.logical_and(jnp.any(t < tend), it < max_steps)
-
-    def body(st):
-        t, y, h, it = st
-        active = t < tend
-        hh = jnp.minimum(h, tend - t)
-        hh = jnp.maximum(hh, hmin)
-        f0 = fun(y, fix, rconst)
-        j0 = jac(y, fix, rconst)
-        p = eye / (hh * _G)[:, None, None] - j0
-        lu, piv = jax.scipy.linalg.lu_factor(p)
-        k1 = jax.scipy.linalg.lu_solve((lu, piv), f0)
-        y2 = y + _A21 * k1
-        f2 = fun(jnp.maximum(y2, 0.0), fix, rconst)
-        rhs2 = f2 + (_C21 / hh)[:, None] * k1
-        k2 = jax.scipy.linalg.lu_solve((lu, piv), rhs2)
-        ynew = y + _M1 * k1 + _M2 * k2
-        yerr = _E1 * k1 + _E2 * k2
-        sc = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(ynew))
-        err = jnp.sqrt(jnp.mean((yerr / sc) ** 2, axis=-1))
-        err = jnp.maximum(err, 1e-10)
-        accept = err <= 1.0
-        fac = jnp.clip(0.9 * err ** -0.5, 0.2, 10.0)
-        hnew = jnp.clip(hh * fac, hmin, tend)
-        upd = active & accept
-        y = jnp.where(upd[:, None], jnp.maximum(ynew, 0.0), y)
-        t = jnp.where(upd, t + hh, t)
-        h = jnp.where(active, hnew, h)
-        return (t, y, h, it + 1)
-
-    t0 = jnp.zeros((n,), dtype)
-    h0 = jnp.full((n,), 1.0, dtype) * jnp.minimum(
-        jnp.asarray(hstart, dtype), jnp.asarray(tend, dtype))
-    _, y, _, _ = jax.lax.while_loop(
-        cond, body, (t0, var0, h0, jnp.asarray(0)))
-    return y
+KIN = GasKinetics(M)
+fun = KIN.fun
+jac = KIN.jac
+integrate = KIN.integrate

@@ -1,23 +1,24 @@
-"""CBMZ gas-phase chemistry model coupling — the ``chemistry``
-equivalent (``Main/chemlib/mod_che_chemistry.F90:50-147``).
+"""Gas-phase chemistry model coupling — the ``chemistry`` equivalent
+(``Main/chemlib/mod_che_chemistry.F90:50-147``), mechanism-generic
+(CBMZ and CB6r2 instantiations below).
 
 Per call: convert the transported tracers (uncoupled kg/kg) to
 molec/cm³ with ``cfactor = ρ·1e-3·N_A`` and the per-tracer molecular
 weight (:68,:101), seed every NON-transported species at zero exactly
 as the reference does (the ``chemall`` restore at :93-97 is commented
-out there), fix O2/N2 at 0.22/0.78·M (``chemmain``,
-``mod_cbmz_main.F90:96-97`` — the reference's 0.22 quirk kept),
-compute photolysis from the cosine zenith + cloud optical depths
-above/below each layer (``ichjphcld``, :76-83), integrate the
-mechanism with the batched Rosenbrock (``cbmz.integrate``), and
-return the coupled tracer tendency.
+out there), set the mechanism's fixed species, compute photolysis
+from the cosine zenith + cloud optical depths above/below each layer
+(``ichjphcld``, :76-83), integrate the mechanism with the batched
+Rosenbrock (``kinetics.GasKinetics``), and return the coupled tracer
+tendency.
 
 DOCUMENTED DEVIATIONS
 - solver cadence: the reference solves every ``dtchsolv`` = 900 s and
   applies the held tendency each dt; here the solver runs every
   chemistry call over ``dt`` — better time-resolved, avoids a held
   chemten state slot.  (The reference itself notes the smoothing is a
-  cost optimization, mod_che_tend.F90:523-529.)
+  cost optimization, mod_che_tend.F90:523-529.)  The two cadences'
+  trajectories are compared in tests/test_cbmz.py::test_cadence.
 - stratosphere skip: cells with p < 10 kPa (and the topmost level,
   kmin=2) get zero chemistry tendency, standing in for the
   ``cptrop`` tropopause test (:65).
@@ -30,26 +31,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import _cbmz_mech_data as M
-from .cbmz import integrate, NVAR
-from .jvalues import cbmz_jvals
-
 BOLTZ = 1.380658e-23       # J/K
 NAVGDR = 6.02214129e23
 AMW_H2O = 18.0
-_IND_H2O = M.SPECIES.index("H2O")
 
 
-class CbmzDriver:
-    """Bound to one grid/config; called from ChemTend."""
+class GasChemDriver:
+    """Bound to one grid/config + mechanism; called from ChemTend.
 
-    def __init__(self, cfg, grid, spec, dtype=None):
+    ``mech``: generated ``_*_mech_data`` module; ``kin``: the
+    mechanism's GasKinetics; ``jval_fn(coszen, alt, ta, tb)``;
+    ``fix_fn(c_m, wtr)`` → (…, nfix) fixed species; ``h2o_var``:
+    variable-species index of water (CBMZ) or None when water is a
+    fixed species (CB6)."""
+
+    def __init__(self, cfg, grid, spec, mech, kin, jval_fn, fix_fn,
+                 h2o_var=None, dtype=None):
         self.cfg = cfg
         self.spec = spec
-        # tracer → CBMZ species index + molecular weight
-        self.indcbmz = np.array(
-            [M.SPECIES.index(n) for n in spec.names], np.int32)
-        self.mw = np.array([M.MW[i] for i in self.indcbmz])
+        self.mech = mech
+        self.kin = kin
+        self.jval_fn = jval_fn
+        self.fix_fn = fix_fn
+        self.h2o_var = h2o_var
+        self.indmech = np.array(
+            [mech.SPECIES.index(n) for n in spec.names], np.int32)
+        self.mw = np.array([mech.MW[i] for i in self.indmech])
         self.kmin = 1              # skip topmost level (kmin=2 1-based)
         self.ptrop_pa = 1.0e4      # stratosphere cutoff
         self.ichjphcld = int(getattr(cfg.chem, "ichjphcld", 1))
@@ -57,6 +64,7 @@ class CbmzDriver:
     def __call__(self, atms, s, chib, cpl, dt):
         """Coupled chemistry tendency (ntr, kz, iy, jx)."""
         ntr, kz, iy, jx = chib.shape
+        nvar = self.kin.nvar
         tb3 = atms["tb3"]
         pb3 = atms["pb3"]                       # Pa
         rho = atms["rhob3"]
@@ -80,34 +88,60 @@ class CbmzDriver:
         else:
             tau_above = tau_below = jnp.zeros_like(tb3)
         alt_km = atms["za"] * 1.0e-3
-        jv = cbmz_jvals(coszen, alt_km, tau_above, tau_below)
+        jv = self.jval_fn(coszen, alt_km, tau_above, tau_below)
 
-        # rate constants (124, kz, iy, jx)
-        rconst = M.update_rconst(tb3, c_m, jv)
+        # rate constants (nreact, kz, iy, jx)
+        rconst = self.mech.update_rconst(tb3, c_m, jv)
 
-        # pack concentrations: (ncell, 58)
+        # pack concentrations: (ncell, nvar)
         ncell = kz * iy * jx
         flat = lambda a: a.reshape((-1, ncell)).T
-        var0 = jnp.zeros((ncell, NVAR), tb3.dtype)
+        var0 = jnp.zeros((ncell, nvar), tb3.dtype)
         cf_flat = flat(cfactor[None])[:, 0]
         for n in range(ntr):
             conc = flat(chi[n][None])[:, 0] * cf_flat / self.mw[n]
-            var0 = var0.at[:, self.indcbmz[n]].set(conc)
-        var0 = var0.at[:, _IND_H2O].set(
-            flat(qv[None])[:, 0] * cf_flat / AMW_H2O)
+            var0 = var0.at[:, self.indmech[n]].set(conc)
+        wtr = flat(qv[None])[:, 0] * cf_flat / AMW_H2O
+        if self.h2o_var is not None:
+            var0 = var0.at[:, self.h2o_var].set(wtr)
         m_flat = flat(c_m[None])[:, 0]
-        fix = jnp.stack([0.22 * m_flat, 0.78 * m_flat], axis=-1)
-        rc_flat = rconst.reshape((M.NREACT, ncell)).T
+        fix = self.fix_fn(m_flat, wtr)
+        rc_flat = rconst.reshape((self.kin.nreact, ncell)).T
 
-        varo = integrate(var0, fix, rc_flat, dt)
+        varo = self.kin.integrate(var0, fix, rc_flat, dt)
 
         # tendency back to coupled kg/kg/s (chemistry :126-143)
         solve = (pb3 > self.ptrop_pa) & \
             (jnp.arange(kz)[:, None, None] >= self.kmin)
         chemten = jnp.zeros_like(chib)
-        dvar = (varo - var0).T.reshape((NVAR, kz, iy, jx))
+        dvar = (varo - var0).T.reshape((nvar, kz, iy, jx))
         pfact = cpl[None] / cfactor / dt
         for n in range(ntr):
-            ten = dvar[self.indcbmz[n]] * pfact * self.mw[n]
+            ten = dvar[self.indmech[n]] * pfact * self.mw[n]
             chemten = chemten.at[n].set(jnp.where(solve, ten, 0.0))
         return chemten
+
+
+def CbmzDriver(cfg, grid, spec, dtype=None):
+    """CBMZ instantiation: H2O is a VARIABLE species; fixed = O2/N2 at
+    0.22/0.78·M (``chemmain``, mod_cbmz_main.F90:96-97 — the
+    reference's 0.22 quirk kept)."""
+    from . import _cbmz_mech_data as M
+    from .cbmz import KIN
+    from .jvalues import cbmz_jvals
+
+    def fix_fn(c_m, wtr):
+        return jnp.stack([0.22 * c_m, 0.78 * c_m], axis=-1)
+
+    return GasChemDriver(cfg, grid, spec, M, KIN, cbmz_jvals, fix_fn,
+                         h2o_var=M.SPECIES.index("H2O"), dtype=dtype)
+
+
+def Cb6Driver(cfg, grid, spec, dtype=None):
+    """CB6r2 instantiation: water is the WTR FIXED species
+    (mod_cb6_Main.F90:107)."""
+    from . import _cb6_mech_data as M
+    from .cb6 import KIN, cb6_jvals, fixed_species
+
+    return GasChemDriver(cfg, grid, spec, M, KIN, cb6_jvals,
+                         fixed_species, h2o_var=None, dtype=dtype)

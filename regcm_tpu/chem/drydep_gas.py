@@ -30,7 +30,10 @@ _DH2O = 0.369 * 18.0 + 6.29
 # gas table rows (1-based in the reference) used by drydep_gas
 # (:862-875): SO2, NO2, O3, H2O2, HNO3, PAN, HCHO, ALD2, CH3OH
 GAS_ROW = {"SO2": 0, "NO2": 2, "O3": 3, "H2O2": 4, "HNO3": 5,
-           "PAN": 9, "HCHO": 13, "ALD2": 14, "CH3OH": 22}
+           "PAN": 9, "HCHO": 13, "ALD2": 14, "CH3OH": 22,
+           # CB6 species names sharing the same table rows
+           "SDIO": 0, "NDOX": 2, "OZN": 3, "HPOX": 4, "NTRC": 5,
+           "PACN": 9, "FORM": 13, "AALD": 14, "MEOH": 22}
 
 
 def lai_now(mpos) -> tuple:

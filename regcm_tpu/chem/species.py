@@ -109,7 +109,7 @@ class ChemSpec:
 
 
 SUPPORTED_CHEMSIM = ("DUST", "DU12", "SSLT", "DUSS", "CARB", "SULF",
-                     "SUCA", "AERO", "POLLEN", "CBMZ")
+                     "SUCA", "AERO", "POLLEN", "CBMZ", "CB6")
 
 
 def _dust(nbin):
@@ -206,6 +206,20 @@ def build_species(chemsimtype: str) -> Optional[ChemSpec]:
         kind = ["so2" if n == "SO2" else "gas" for n in CBMZ_TRACERS]
         return _mk(sim, list(CBMZ_TRACERS), kind, [0.0] * ntr,
                    [0.0] * ntr, list(CBMZ_TRACER_SOL), igaschem=1)
+    if sim == "CB6":
+        # the reference ships the full KPP CB6r2 mechanism
+        # (GAS_CB6r2/) but wires no chemsimtype to it; regcm_tpu
+        # exposes it first-class (chem/cb6.py docstring)
+        try:
+            from ._cb6_mech_data import CB6_TRACERS, CB6_TRACER_SOL
+        except ImportError as e:
+            raise ValueError(
+                "chemsimtype='CB6' needs the generated mechanism "
+                f"tables (_cb6_mech_data.py): {e}") from e
+        ntr = len(CB6_TRACERS)
+        kind = ["so2" if n == "SDIO" else "gas" for n in CB6_TRACERS]
+        return _mk(sim, list(CB6_TRACERS), kind, [0.0] * ntr,
+                   [0.0] * ntr, list(CB6_TRACER_SOL), igaschem=1)
     raise ValueError(
         f"chemparam chemsimtype='{chemsimtype}' is not implemented in "
         f"regcm_tpu (supported: {SUPPORTED_CHEMSIM}; DCCB needs the "

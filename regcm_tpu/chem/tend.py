@@ -127,11 +127,12 @@ class ChemTend:
         self.rhop = f(np.where(amask, spec.rhop, 1000.0))
         self.sol = f(np.where(amask, spec.sol, 0.0))
         self.aging_pairs = list(spec.aging_pairs)
-        # -- CBMZ gas phase --------------------------------------------
+        # -- gas phase (CBMZ or CB6r2) ---------------------------------
         self.cbmz = None
         if spec.igaschem:
-            from .cbmz_driver import CbmzDriver
-            self.cbmz = CbmzDriver(cfg, grid, spec, dtype=dtype)
+            from .cbmz_driver import Cb6Driver, CbmzDriver
+            mk = Cb6Driver if spec.simtype == "CB6" else CbmzDriver
+            self.cbmz = mk(cfg, grid, spec, dtype=dtype)
 
     def __call__(self, core, atms, s, cldfra_ls, cum_cldfra,
                  remrat, rembc, conv_prate, dt, ls_prate=None
