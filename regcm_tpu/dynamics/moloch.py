@@ -188,6 +188,11 @@ class MolochCore:
         from .pallas_kernels import tpu_available
         self.use_pallas = bool(int(cfg.physics.extras.get(
             "pallas", 1))) and tpu_available()
+        # per-kernel opt-outs (diagnostics / fault isolation)
+        self.use_pallas_tridiag = self.use_pallas and bool(int(
+            cfg.physics.extras.get("pallas_tridiag", 1)))
+        self.use_pallas_waf = self.use_pallas and bool(int(
+            cfg.physics.extras.get("pallas_waf", 1)))
         self.mesh = None
         self._waf_k3 = None       # dt-free WAF coefficients (lazy)
         self.nsound = cfg.moloch.mo_nsound
@@ -547,7 +552,7 @@ class MolochCore:
                 + self.ffilt[1:kz, None, None]
 
             w_old = w
-            if self.use_pallas:
+            if self.use_pallas_tridiag:
                 # fused up/down Thomas sweeps with the column in VMEM
                 # (pallas_kernels.tridiag_w) — one HBM round trip
                 # instead of the two scans' operand materializations
@@ -844,6 +849,15 @@ class MolochCore:
         tetav = tvirt / pai
 
         chi = st.chi_b
+        # Pallas WAF + the CCM3 radiation stage co-resident in one
+        # executable trips a runtime kernel fault on TPU v5e for
+        # jx >= 144 (UNAVAILABLE device error at dispatch; bisected:
+        # tridiag_w+rad is clean, waf+rad faults, waf alone at 192 is
+        # clean). Radiation-bearing step variants (1/nrad cadence)
+        # therefore take the XLA _wafone path — ~4 ms extra once per
+        # rad alarm, < 0.1 ms/step amortized.
+        use_pallas_waf = self.use_pallas_waf and not (
+            flags is not None and getattr(flags, "do_rad", False))
         for _ in range(self.nadv):
             u, v, w, pai, s = self._sound(u, v, w, pai, tetav, qv, qsat,
                                           dtsound)
@@ -858,7 +872,7 @@ class MolochCore:
             if self.ntr:
                 parts.append(chi)
             fields = jnp.concatenate(parts, axis=0)
-            if self.use_pallas:
+            if use_pallas_waf:
                 # fused 3-sweep WAF kernel over the whole field stack
                 # (pallas_kernels.waf_advect): halo windows in VMEM,
                 # one HBM round trip per field instead of the ~10

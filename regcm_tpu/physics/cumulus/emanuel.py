@@ -150,6 +150,22 @@ class _LayCF:
         e = self.iota_i() == self.iota_j()
         return self.sum_j(jnp.where(e, x, jnp.zeros_like(x)))
 
+    def cummin_j_ex(self, x, fill):
+        """EXCLUSIVE prefix-min along j seeded with `fill` — the
+        running `smin` of the reference's normalization loop
+        (mod_cu_em.F90:798-821). Log-depth doubling on jslice/jcat so
+        the same code lowers in both layouts (Mosaic has no cummin)."""
+        L = self.L
+        y = self.jcat([jnp.full_like(self.jslice(x, 0, 1), fill),
+                       self.jslice(x, 0, L - 1)])
+        s = 1
+        while s < L:
+            pad = jnp.full_like(self.jslice(y, 0, s), fill)
+            y = jnp.minimum(
+                y, self.jcat([pad, self.jslice(y, 0, L - s)]))
+            s *= 2
+        return y
+
 
 class _LayCL(_LayCF):
     """Columns-last layout: 2D arrays (L, cb), 3D (i, j, cb) — the cb
@@ -261,13 +277,27 @@ def _mixing_body(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph,
     scrit = xp.where(alt < 0.0, 1.0, scrit)
     scrit = xp.maximum(scrit, 0.0)               # per-i 2D
     L = lay.L
-    sijp1 = lay.jcat([lay.jslice(sij, 1, L), lay.jslice(sij, L - 1, L)])
-    sijm1 = lay.jcat([lay.jslice(sij, 0, 1), lay.jslice(sij, 0, L - 1)])
+    # the reference's sij matrix is written only for i in the cloud
+    # rows and j in [icb, ict]; everything else stays 0, and the
+    # j±1 neighbors read those zeros at the range edges (:800-816)
+    sij_f = xp.where(A(cloud) & jrange, sij, xp.zeros_like(sij))
+    zpad = xp.zeros_like(lay.jslice(sij_f, 0, 1))
+    sijp1 = lay.jcat([lay.jslice(sij_f, 1, L), zpad])
+    sijm1 = lay.jcat([zpad, lay.jslice(sij_f, 0, L - 1)])
     scritA = A(scrit)
     smid_gt = xp.minimum(sij, scritA)
     sjmax_gt = smid_gt
     sjmin_gt = smid_gt
-    use_min = (smid_gt < 1.0) & (sijp1 < smid_gt)
+    # the reference tracks a running smin over accepted j>i pairs
+    # (smin=1 start; branch iff smid < smin AND sij(i,j+1) < smid,
+    # then smin=smid, :805-810). Because every branch-taken smid is a
+    # new record minimum, `smid < running smin` is equivalent to
+    # `smid < exclusive-prefix-min over earlier candidate smids`,
+    # which vectorizes exactly.
+    c_cond = valid & jgti & (sijp1 < smid_gt)
+    prefmin = lay.cummin_j_ex(
+        xp.where(c_cond, smid_gt, xp.ones_like(smid_gt)), 1.0)
+    use_min = c_cond & (smid_gt < prefmin)
     sjmax_gt = xp.where(use_min,
                         xp.minimum(xp.minimum(sijp1, sij), scritA),
                         sjmax_gt)
@@ -289,6 +319,18 @@ def _mixing_body(h, hp, q, qs, t, lv, qti, clw, ep, m, u, v, dph,
     asij = xp.maximum(
         lay.sum_j(xp.where(valid, wgt, xp.zeros_like(wgt))), 1.0e-21)
     ment = xp.where(has_ent, ment_n / A(asij), ment_n)
+
+    # post-normalization fallback (:830-847): a row whose normalized
+    # fluxes all vanished detrains like the no-entrainment case
+    bsum = lay.sum_j(ment)
+    fb = (nent > 0.5) & (bsum < 1.0e-18) & cloud
+    fbd = A(fb) & eye3
+    ment = xp.where(fbd, A(m) * xp.ones_like(ment), ment)
+    qent = xp.where(fbd, A(qti) * xp.ones_like(qent), qent)
+    uent = xp.where(fbd, S(unk) * xp.ones_like(uent), uent)
+    vent = xp.where(fbd, S(vnk) * xp.ones_like(vent), vent)
+    elij = xp.where(fbd, A(clw) * xp.ones_like(elij), elij)
+    diag_set = diag_set | fbd
 
     # ---- reductions -------------------------------------------------
     awat = xp.maximum(elij - (1.0 - B(ep)) * B(clw), 0.0)

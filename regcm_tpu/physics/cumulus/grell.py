@@ -52,10 +52,14 @@ def _first_true(mask, ii, default):
     return jnp.where(out >= 10 ** 6, default, out)
 
 
-def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
+def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2,
+        kbmax=None) -> GrellOut:
     """Grell cup. All (ncol, kz) BOTTOM-UP (index 0 = lowest level);
     t/q current state; tn/qo large-scale-forced state; p (hPa), psur
-    (hPa), ter11 terrain (m), vsp wind speed; dtime leapfrog dt."""
+    (hPa), ter11 terrain (m), vsp wind speed; dtime leapfrog dt.
+    kbmax: highest 0-based departure level (the reference derives it
+    from hsigma > skbmax, mod_params.F90:2283-2285); defaults to a
+    pressure-ratio approximation."""
     ncol, kz = t.shape
     ii = jnp.arange(kz)[None, :]
     take = lambda a, k: jnp.take_along_axis(a, k[:, None], axis=1)[:, 0]
@@ -86,19 +90,23 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
     qes, q, tv, z, he, hes = env(t, q)
     qeso, qo, tvo, zo, heo, heso = env(tn, qo)
 
-    # kdet: highest level with z > zdetr + terrain (:513)
-    kdet = jnp.max(jnp.where(z > ZDETR + ter11[:, None], ii, 1), axis=1)
-    kdet = jnp.maximum(kdet, 1)
-    # dkk: downdraft detrainment profile (:565-568): for k<=kdet,
-    # dkk[k] = 1 − (kdet−k+1... Fortran k=1..kdet: kk=kdet−k+1,
-    # dkk(k)=1−kk/kdet → 0-based: dkk[k]=1−(kdet−k)/kdet = k/kdet
+    # kdet: highest 0-based level with z > zdetr + terrain (:513);
+    # the reference's 1-based kdet equals this + 1
+    kdet = jnp.max(jnp.where(z > ZDETR + ter11[:, None], ii, 0), axis=1)
+    # dkk (:565-568): Fortran k=1..kdet: kk=kdet−k+1,
+    # dkk(k)=1−kk/kdet → 0-based kp≤kdet: dkk[kp]=kp/(kdet+1),
+    # 1.0 above
     dkk = jnp.where(ii <= kdet[:, None],
-                    ii / jnp.maximum(kdet[:, None], 1), 1.0)
+                    ii / (kdet[:, None] + 1.0), 1.0)
 
-    # kbmax from skbmax: highest bottom-up level with sigma>skbmax —
-    # approximate via pressure: p > skbmax·psur
-    kbmax = jnp.max(jnp.where(p > SKBMAX * psur[:, None], ii, 0), axis=1)
-    kbmax = jnp.maximum(kbmax, 2)
+    if kbmax is None:
+        # approximate sigma > skbmax via pressure: p > skbmax·psur
+        kbmax = jnp.max(jnp.where(p > SKBMAX * psur[:, None], ii, 0),
+                        axis=1)
+        kbmax = jnp.maximum(kbmax, 2)
+    else:
+        kbmax = jnp.broadcast_to(jnp.asarray(kbmax, jnp.int32),
+                                 (ncol,))
 
     # k22: level of max he below kbmax (maximi2 from 1..kbmax → 0-based)
     hem = jnp.where(ii <= kbmax[:, None], he, -1e18)
@@ -137,6 +145,10 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
                          hkbo)
         qkbo = jnp.where(retry, take(mid(qo), jnp.minimum(k22, kz - 1)),
                          qkbo)
+        # the reference restarts the base search from kb = k22 after a
+        # pbcdif retry (:565-566 `kb(n) = k22(n); kbcon(n) = kb(n)`) —
+        # the new hkb can qualify BELOW the failed kbcon
+        kbcon = jnp.where(retry, k22, kbcon)
 
     kbcon = jnp.minimum(kbcon, kz - 2)
     # buoyancy and cloud top (:620-650)
@@ -154,8 +166,9 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
     hemin = jnp.where((ii >= k22[:, None]) & (ii <= ktop[:, None]),
                       he, 1e18)
     kmin = jnp.argmin(hemin, axis=1)
-    act = act & (kmin > 3)
-    kmin = jnp.clip(kmin, 4, kz - 2)
+    # reference rejects kmin <= 3 (1-based, :668) -> 0-based <= 2
+    act = act & (kmin > 2)
+    kmin = jnp.clip(kmin, 3, kz - 2)
 
     # updraft water cascade + cloud work function (:672-716) — scan k
     def updraft(qck0, state, dbyX, qesX, tX, zX):
@@ -227,23 +240,31 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
                                dkk[:, kk] * (qcd - qrcd), 0.0)
             qcd = jnp.where(ind & act, qrcd, qcd)
             pwcev = pwcev + pwcd_k
-            return (qcd, bu, pwcev), pwcd_k
+            # the qrcd PROFILE: mid(qes) init (:532) overwritten below
+            # kmin with the draught value (:780) — dellaq reads it
+            qrcd_k = jnp.where(ind & act, qrcd, qes_m[:, kk])
+            return (qcd, bu, pwcev), (pwcd_k, qrcd_k)
         z0c = jnp.zeros((ncol,), t.dtype)
-        (qcd, bu, pwcev), pwcds = jax.lax.scan(
+        (qcd, bu, pwcev), (pwcds, qrcds) = jax.lax.scan(
             body, (qcd0, z0c, z0c), jnp.arange(kz - 2, -1, -1))
         pwcd = jnp.concatenate(
             [jnp.flip(pwcds.T, axis=1), jnp.zeros((ncol, 1), t.dtype)],
             axis=1)
-        return qcd, bu, pwcev, pwcd
+        qrcd_prof = jnp.concatenate(
+            [jnp.flip(qrcds.T, axis=1), qesX[:, -1:]], axis=1)
+        return qcd, bu, pwcev, pwcd, qrcd_prof
 
     hcd = take(mid(he), kmin)
     qcd0 = take(mid(q), kmin)
     hcdo = take(mid(heo), kmin)
     qcdo0 = take(mid(qo), kmin)
-    _, bu, pwcev, pwcd = downdraft(hcd, qcd0, he, hes, qes, t, z)
-    _, buo, pwcevo, pwcdo = downdraft(hcdo, qcdo0, heo, heso, qeso, tn, zo)
+    _, bu, pwcev, pwcd, qrcd_prof = downdraft(hcd, qcd0, he, hes,
+                                              qes, t, z)
+    _, buo, pwcevo, pwcdo, _ = downdraft(hcdo, qcdo0, heo, heso,
+                                         qeso, tn, zo)
 
     act = act & (bu < 0.0) & (buo < 0.0) & (pwcev < 0.0) & (pwcevo < 0.0)
+    edt_shear = edt       # edtx rescales from the RAW shear edt (:752)
     edt = jnp.clip(-edt * pwcav / jnp.where(pwcev == 0, -1.0, pwcev),
                    EDTMIN, EDTMAX)
     edto = jnp.clip(-edto * pwcavo / jnp.where(pwcevo == 0, -1.0, pwcevo),
@@ -254,12 +275,14 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
     q_m = mid(q)
     he_mm1 = jnp.concatenate([he[:, :1], he_m[:, :-1]], axis=1)  # ½(k,k-1)
     q_mm1 = jnp.concatenate([q[:, :1], q_m[:, :-1]], axis=1)
-    qrcd_prof = mid(qes)   # approx qrcd at levels (detrainment source)
     dkk_p1 = jnp.concatenate([dkk[:, 1:], dkk[:, -1:]], axis=1)
     aup = jnp.where(ii > k22[:, None], 1.0, 0.0)
     adw = jnp.where(ii <= kmin[:, None], 1.0, 0.0)
     p_km1 = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
     dpinv = 1.0 / (50.0 * jnp.maximum(p_km1 - p_kp1, 0.1))
+    # NOTE: the reference's detdo (:849) indexes dkk with the STALE
+    # loop variable kk (= kz after the shear loop), an out-of-bounds
+    # read; we follow detdoq's intended dkk(k+1) pattern instead
     detdo = (dkk_p1 - dkk) * (hcd[:, None] - he)
     detdoq = (dkk_p1 - dkk) * (qrcd_prof - q)
     dellah = ((aup - adw * dkk_p1 * edt[:, None]) * (he_m - he)
@@ -287,21 +310,41 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
     dellaq = jnp.where(incl, dellaq, 0.0)
     dellat = c.rcpd * (dellah - c.wlhv * dellaq)
 
-    # cloud-modified state (x arrays) and its cloud work function
+    # cloud-modified state (x arrays, :855-948): xhe accumulates the
+    # tendency on the CAPPED he (not recomposed from xt/xq), xq floors
+    # to minqq only when <= 0, xqes has no minqq floor
     xt = t + mbdt * dellat
-    xq = jnp.maximum(q + mbdt * dellaq, c.minqq)
-    xqes, xq, xtv, xz, xhe, xhes = env(xt, xq)
+    xq_raw = q + mbdt * dellaq
+    xq = jnp.where(xq_raw <= 0.0, c.minqq, xq_raw)
+    xqes = pfwsat(xt, p * 100.0)
+    xq = jnp.minimum(xq, xqes)
+    xtv = xt * (1.0 + c.ep1 * xq)
+    xz0 = ter11 - (jnp.log(p[:, 0]) - jnp.log(psur)) * c.rgas \
+        * xtv[:, 0] * c.regrav
+    def xzstep(zprev, k):
+        tvbar = 0.5 * (xtv[:, k] + xtv[:, k - 1])
+        zk = zprev - (jnp.log(p[:, k]) - jnp.log(p[:, k - 1])) \
+            * c.rgas * tvbar * c.regrav
+        return zk, zk
+    _, xzs = jax.lax.scan(xzstep, xz0, jnp.arange(1, kz))
+    xz = jnp.concatenate([xz0[:, None], xzs.T], axis=1)
+    xhes = c.egrav * xz + c.cpd * xt + c.wlhv * xqes
+    xhe = jnp.minimum(he + mbdt * dellah, xhes)
     xhkb = hkb + mbdt * take(dellah, kbcon)
-    xqkb = jnp.maximum(qkb + mbdt * take(dellaq, kbcon), c.minqq)
+    xqkb_raw = qkb + mbdt * take(dellaq, kbcon)
+    xqkb = jnp.where(xqkb_raw <= 0.0, c.minqq, xqkb_raw)
     xhes_mid = mid(xhes)
     xdby = xhkb[:, None] - xhes_mid
     _, xpwcav_, xxac, _ = updraft(xqkb, None, xdby, xqes, xt, xz)
     xhcd = take(mid(xhe), kmin)
     xqcd0 = take(mid(xq), kmin)
-    _, xbu, xpwcev, _ = downdraft(xhcd, xqcd0, xhe, xhes, xqes, xt, xz)
+    _, xbu, xpwcev, _, _ = downdraft(xhcd, xqcd0, xhe, xhes, xqes,
+                                     xt, xz)
     act = act & (xbu < 0.0)
-    edtx = jnp.clip(-edt * xpwcav_ / jnp.where(xpwcev == 0, -1.0, xpwcev),
-                    EDTMIN, EDTMAX)
+    # edtx rescales the raw shear edt, guarded on |xpwcev| (:1030-1036)
+    edtx = jnp.where(jnp.abs(xpwcev) > 1.0e-20,
+                     -edt_shear * xpwcav_ / xpwcev, edt_shear)
+    edtx = jnp.clip(edtx, EDTMIN, EDTMAX)
 
     # downdraft cloud work contributions (:1030-1080)
     def dd_cwf2(edtX, hcdX, tX, qesX, hesX, zX):
@@ -323,14 +366,16 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
     xao = xao + dd_cwf2(edto, hcdo, tn, qeso, heso, zo)
     xxac = xxac + dd_cwf2(edtx, xhcd, xt, xqes, xhes, xz)
 
-    # closure (:1086-1102)
+    # closure (:1086-1102); only columns whose total cloud work
+    # function is non-negative close (`if xac >= 0`, :1087)
+    act_c = act & (xac >= 0.0)
     if igcc == 1:
         fcl = (xao - xac) / dtime
     else:
         fcl = xac / DTAUC
     xk = (xxac - xac) / mbdt
     xmb = jnp.where((fcl <= 0.0) | (xk >= 0.0), 0.0, -fcl / xk)
-    xmb = jnp.where(act, xmb, 0.0)
+    xmb = jnp.where(act_c, xmb, 0.0)
 
     # heating bound feedback (:1108-1118)
     outtes = dellat * xmb[:, None] * c.secpd
@@ -355,13 +400,16 @@ def cup(t, q, tn, qo, p, psur, ter11, vsp, dtime, igcc=2) -> GrellOut:
     cf_deep = jnp.clip(KFAC_DEEP * jnp.log1p(K2_CONST * mflx), 0.01, 0.6)
     cf_shal = jnp.clip(KFAC_SHAL * jnp.log1p(K2_CONST * mflx), 0.01, 0.2)
     incb = (ii >= kbcon[:, None]) & incl
-    cldfrc = jnp.where(incb & act[:, None],
+    # the reference emits the 0.01 cloud-fraction floor in the cloud
+    # layer even when xmb = 0 (mflx=0 -> log1p(0) -> clipped to 0.01,
+    # :1125-1140) — gate on act_c, not on xmb > 0
+    cldfrc = jnp.where(incb & act_c[:, None],
                        jnp.where(deep[:, None], cf_deep, cf_shal), 0.0)
 
-    actf = act & (xmb > 0.0)
+    actf = act_c & (xmb > 0.0)
     am = actf[:, None]
     return GrellOut(outt=jnp.where(am, outt, 0.0),
                     outq=jnp.where(am, outq, 0.0),
                     pratec=jnp.where(actf, pratec, 0.0),
-                    cldfrc=jnp.where(am, cldfrc, 0.0),
+                    cldfrc=jnp.where(act_c[:, None], cldfrc, 0.0),
                     kbcon=kbcon, ktop=ktop, active=actf)

@@ -179,92 +179,34 @@ class TiedtkeOut(NamedTuple):
     idtop: jax.Array
 
 
-def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
-             tenq_dyn, tent_dyn, ldland, dtcum, dx, pref,
-             omega=None, lmfmid=True, lmfsmooth=False):
-    """One Tiedtke call on (np, nk) columns (top-down ordering).
+def cloudbase_search(t, q, tf, qf, qs, pf, geof, ahfs, qhfl,
+                     entrpen, kt1, kt2, pnorm):
+    """Departure-level cloud-base search — the reference's
+    `cloudbase` (mod_cu_tiedtke.F90:7043-7493).
 
-    t/q (K, specific humidity), ph/pf layer/interface Pa, geo/geof
-    geopotential, omega (Pa/s), qhfl/ahfs turbulent moisture/heat flux
-    (surface value in slot nk), tenq_dyn/tent_dyn the dynamic
-    tendencies (for moisture-convergence closures). Returns pure
-    CUMULUS tendencies (not including the input dynamics)."""
+    The surface departure level (kk = nk-1) may only yield SHALLOW
+    convection (:7391-7394, "No deep allowed for KLEV") and the
+    search always continues upward; the first ELEVATED departure
+    level whose cloud reaches rdepths wins and overrides any prior
+    shallow accept, resetting the profile outside its span
+    (:7449-7486). The departure-level sweep is an outer lax.scan
+    whose body runs one inner ascent scan — O(nk) trace instead of
+    the reference's O(nk2) unrolled loops.
+
+    Inputs are top-down (np, nk) columns: tf/qf the half-level
+    static-energy-max temperature / humidity from initcum, qs the
+    full-level saturation humidity, pf (np, nk+1) interface Pa,
+    geof interface geopotential, ahfs/qhfl turbulent heat/moisture
+    flux (surface slot nk), kt1/kt2 the 350/60 hPa marker levels,
+    pnorm the normalized static pressure profile (for the 60 hPa
+    mixed-layer gate). Returns (ldcum, kcbot, ictop0, idpl,
+    wubase, tu, qu, lu, ilab).
+    """
     npx, nk = t.shape
-    dt = dtcum
-    rdt = 1.0 / dt
-    cons2 = (3.0 if dx >= 17747.5 else 5.0) / (c.egrav * dtcum)
-    cons = 1.0 / (c.egrav * dtcum)
-    rtau_s = min(3.0, 1.0 + 264.0 / max(dx / 1000.0, 1.0))
-
-    # static marker levels from the normalized profile `pref`
-    # (hsigma·stdp; reference uses the instantaneous domain mean)
-    pnorm = np.asarray(pref) / np.asarray(pref)[nk - 1] * c.stdp
-
-    def _first_below(plev):
-        m = pnorm > plev
-        return int(np.argmax(m)) if m.any() else nk - 1
-
-    nk350 = _first_below(350.0e2)
-    nk060 = _first_below(60.0e2)
-    nk950 = _first_below(950.0e2)
-    nmctop0 = _first_below(300.0e2)   # cmcptop=300 hPa (:111, :331-342)
-    if omega is None:
-        lmfmid = False
-
-    qs = jnp.minimum(QSMAX, fesat(t) / ph)
-    qs = qs / (1.0 - c.ep1 * qs)
-
-    entrpen = jnp.where(ldland, ENTRPEN_LND, ENTRPEN_OCN)
-
-    # ---------------- initcum (:5524) ---------------------------------
-    # per-level interpolation is independent → fully vectorized; the
-    # downward static-energy max cascade is a lax.scan
-    karr_i = jnp.arange(1, nk)[None, :]
-    tf_mid = (jnp.maximum(c.cpd * t[:, :-1] + geo[:, :-1],
-                          c.cpd * t[:, 1:] + geo[:, 1:])
-              - geof[:, 1:nk]) * c.rcpd
-    tma, qma = _moistadj(pf[:, 1:nk], tf_mid, qs[:, :-1],
-                         jnp.ones((npx, nk - 1), bool), 3)
-    qf_ma = jnp.maximum(jnp.minimum(q[:, :-1], qs[:, :-1])
-                        + (qma - qs[:, :-1]), 0.0)
-    ma_span = (karr_i >= nk060) & (karr_i < nk - 2)
-    tf = jnp.concatenate(
-        [t[:, :1], jnp.where(ma_span, tma, tf_mid)], axis=1)
-    qf = jnp.concatenate(
-        [q[:, :1], jnp.where(ma_span, qf_ma, q[:, :-1])], axis=1)
-    tf = tf.at[:, nk - 1].set(
-        (c.cpd * t[:, nk - 1] + geo[:, nk - 1] - geof[:, nk - 1])
-        * c.rcpd)
-    qf = qf.at[:, nk - 1].set(q[:, nk - 1])
-
-    def _senmax_body(tf, k):
-        zs = jnp.maximum(c.cpd * tf[:, k] + geof[:, k],
-                         c.cpd * tf[:, k + 1] + geof[:, k + 1])
-        return tf.at[:, k].set((zs - geof[:, k]) * c.rcpd), None
-
-    tf, _ = jax.lax.scan(_senmax_body, tf,
-                         jnp.arange(nk - 2, 0, -1, dtype=jnp.int32))
-
     tu = tf
-    td = tf
     qu = qf
-    qd = qf
     lu = jnp.zeros_like(t)
-    uu = jnp.concatenate([u[:, :1], u[:, :-1]], axis=1)
-    vu = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
-    ud = uu
-    vd = vu
     ilab = jnp.zeros((npx, nk), jnp.int32)
-
-    # ---------------- cloudbase (:7056): departure-level search -------
-    # The surface departure level (kk = nk-1) may only yield SHALLOW
-    # convection (:7391-7394, "No deep allowed for KLEV") and the
-    # search always continues upward; the first ELEVATED departure
-    # level whose cloud reaches rdepths wins and overrides any prior
-    # shallow accept, resetting the profile outside its span
-    # (:7449-7486). The departure-level sweep is an outer lax.scan
-    # whose body runs one inner ascent scan — O(nk) trace instead of
-    # the reference's O(nk²) unrolled loops.
     ar = jnp.arange(npx)
     karr = jnp.arange(nk)[None, :]
     idpl = jnp.full(npx, nk - 1, jnp.int32)
@@ -275,8 +217,6 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
     llfirst = jnp.ones(npx, bool)
     llgo_on = jnp.ones(npx, bool)
     lldeep = jnp.zeros(npx, bool)
-    kt1 = nk350
-    kt2 = nk060
     xsenh = c.cpd * tf + geof[:, :nk]
     pnorm_j = jnp.asarray(pnorm, t.dtype)
     # ascent scratch state persists ACROSS departure levels (:7106)
@@ -367,11 +307,16 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
         suh = suh.at[:, k].set(jnp.where(upd, shk, suh[:, k]))
         buoh = buoh.at[:, k].set(jnp.where(upd, bk, buoh[:, k]))
         wu2h = wu2h.at[:, k].set(jnp.where(upd, w2k, wu2h[:, k]))
+        # label semantics (:7340-7372): the exact-base block sets
+        # iilab(k)=2 in BOTH branches; on termination (w2k<0) the
+        # label is left as-is, NOT zeroed
+        lab_base = jnp.where(base_up | base_here, 2, iilab[:, k])
         lab_k = jnp.where(
-            upd & (w2k >= 0.0),
-            jnp.where((luk > 0.0) | base_here | base_up, 2, 1),
+            upd,
+            jnp.where(w2k < 0.0, lab_base,
+                      jnp.where((luk > 0.0) | base_here | base_up,
+                                2, 1)),
             iilab[:, k])
-        lab_k = jnp.where(upd & (w2k < 0.0), 0, lab_k)
         iilab = iilab.at[:, k].set(lab_k)
         iilab = iilab.at[:, kb1].set(jnp.where(
             base_up, 2, iilab[:, kb1]))
@@ -399,7 +344,8 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
     ws0 = 0.001 - 1.5 * RKAP * khvfl \
         * (geof[:, nk - 1] - geof[:, nk]) / t[:, nk - 1]
     go = go & (khvfl < 0.0)
-    ws = 1.2 * jnp.maximum(ws0, 1e-10) ** (1.0 / 3.0)
+    # reference exponent is the literal 0.3333, not 1/3 (:7165)
+    ws = 1.2 * jnp.maximum(ws0, 1e-10) ** 0.3333
     texc = jnp.maximum(-1.5 * ahfs[:, nk] / (rho_s * ws * c.cpd),
                        0.0)
     qexc = jnp.maximum(-1.5 * qhfl[:, nk] / (rho_s * ws), 0.0)
@@ -535,6 +481,87 @@ def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
 
     kcbot = jnp.where(ldcum, jnp.maximum(kcbot, 0), nk - 2)
     ictop0 = jnp.where(ldcum, jnp.maximum(ictop0, 0), nk - 2)
+    return (ldcum, kcbot, ictop0, idpl, wubase, tu, qu, lu,
+            ilab)
+
+
+def ntiedtke(t, q, u, v, qctot, qhfl, ahfs, ph, pf, geo, geof,
+             tenq_dyn, tent_dyn, ldland, dtcum, dx, pref,
+             omega=None, lmfmid=True, lmfsmooth=False):
+    """One Tiedtke call on (np, nk) columns (top-down ordering).
+
+    t/q (K, specific humidity), ph/pf layer/interface Pa, geo/geof
+    geopotential, omega (Pa/s), qhfl/ahfs turbulent moisture/heat flux
+    (surface value in slot nk), tenq_dyn/tent_dyn the dynamic
+    tendencies (for moisture-convergence closures). Returns pure
+    CUMULUS tendencies (not including the input dynamics)."""
+    npx, nk = t.shape
+    dt = dtcum
+    rdt = 1.0 / dt
+    cons2 = (3.0 if dx >= 17747.5 else 5.0) / (c.egrav * dtcum)
+    cons = 1.0 / (c.egrav * dtcum)
+    rtau_s = min(3.0, 1.0 + 264.0 / max(dx / 1000.0, 1.0))
+
+    # static marker levels from the normalized profile `pref`
+    # (hsigma·stdp; reference uses the instantaneous domain mean)
+    pnorm = np.asarray(pref) / np.asarray(pref)[nk - 1] * c.stdp
+
+    def _first_below(plev):
+        m = pnorm > plev
+        return int(np.argmax(m)) if m.any() else nk - 1
+
+    nk350 = _first_below(350.0e2)
+    nk060 = _first_below(60.0e2)
+    nk950 = _first_below(950.0e2)
+    nmctop0 = _first_below(300.0e2)   # cmcptop=300 hPa (:111, :331-342)
+    if omega is None:
+        lmfmid = False
+
+    qs = jnp.minimum(QSMAX, fesat(t) / ph)
+    qs = qs / (1.0 - c.ep1 * qs)
+
+    entrpen = jnp.where(ldland, ENTRPEN_LND, ENTRPEN_OCN)
+
+    # ---------------- initcum (:5524) ---------------------------------
+    # per-level interpolation is independent → fully vectorized; the
+    # downward static-energy max cascade is a lax.scan
+    karr_i = jnp.arange(1, nk)[None, :]
+    tf_mid = (jnp.maximum(c.cpd * t[:, :-1] + geo[:, :-1],
+                          c.cpd * t[:, 1:] + geo[:, 1:])
+              - geof[:, 1:nk]) * c.rcpd
+    tma, qma = _moistadj(pf[:, 1:nk], tf_mid, qs[:, :-1],
+                         jnp.ones((npx, nk - 1), bool), 3)
+    qf_ma = jnp.maximum(jnp.minimum(q[:, :-1], qs[:, :-1])
+                        + (qma - qs[:, :-1]), 0.0)
+    ma_span = (karr_i >= nk060) & (karr_i < nk - 2)
+    tf = jnp.concatenate(
+        [t[:, :1], jnp.where(ma_span, tma, tf_mid)], axis=1)
+    qf = jnp.concatenate(
+        [q[:, :1], jnp.where(ma_span, qf_ma, q[:, :-1])], axis=1)
+    tf = tf.at[:, nk - 1].set(
+        (c.cpd * t[:, nk - 1] + geo[:, nk - 1] - geof[:, nk - 1])
+        * c.rcpd)
+    qf = qf.at[:, nk - 1].set(q[:, nk - 1])
+
+    def _senmax_body(tf, k):
+        zs = jnp.maximum(c.cpd * tf[:, k] + geof[:, k],
+                         c.cpd * tf[:, k + 1] + geof[:, k + 1])
+        return tf.at[:, k].set((zs - geof[:, k]) * c.rcpd), None
+
+    tf, _ = jax.lax.scan(_senmax_body, tf,
+                         jnp.arange(nk - 2, 0, -1, dtype=jnp.int32))
+
+    td = tf
+    qd = qf
+    uu = jnp.concatenate([u[:, :1], u[:, :-1]], axis=1)
+    vu = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
+    ud = uu
+    vd = vu
+
+    # ---------------- cloudbase (:7056): departure-level search -------
+    (ldcum, kcbot, ictop0, idpl, wubase, tu, qu, lu,
+     ilab) = cloudbase_search(t, q, tf, qf, qs, pf, geof, ahfs,
+                              qhfl, entrpen, nk350, nk060, pnorm)
 
     # ---------------- moisture convergence + cloud type ---------------
     dqcv = jnp.zeros(npx)

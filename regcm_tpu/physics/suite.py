@@ -353,7 +353,8 @@ class PhysicsSuite:
                 atms["ps2d"].reshape(ncol) * 0.01,
                 (core.ht / c.egrav).reshape(ncol),
                 flipc(jnp.sqrt(atms["ubx3"] ** 2 + atms["vbx3"] ** 2)),
-                dt, igcc=self.cfg.physics.igcc)
+                dt, igcc=self.cfg.physics.igcc,
+                kbmax=int((self.grid.hsigma > 0.4).sum()) - 1)
             cldfra = unflip(out.cldfrc)
             res.update(
                 tten=unflip(out.outt), qvten=unflip(out.outq),

@@ -140,15 +140,22 @@ class TestEmanuelFormulas:
 # ---------------------------------------------------------------------------
 
 def _grell_setup():
+    # finely-spaced near-surface sigma grid so the LFC sits within
+    # pbcmax=50 hPa of the departure level (the reference's retry
+    # cycle otherwise deactivates the column — verified against the
+    # Fortran-loop oracle in test_grell_oracle.py)
     kz = 18
-    sig = np.linspace(0.995, 0.025, kz)
+    x = np.linspace(0.0, 1.0, kz)
+    sig = 0.995 - (0.995 - 0.03) * x ** 1.8
     psur = np.array([1013.0, 1013.0])
     p = sig[None] * (psur[:, None] - 50) + 50
-    t = np.maximum(302.0 * (p / psur[:, None]) ** 0.23, 200.0)
+    zz = 287.0 * 265.0 / 9.81 * np.log(psur[:, None] / p)
+    t = np.maximum(302.0 - 0.0078 * np.minimum(zz, 7000.0)
+                   - 0.0015 * np.maximum(zz - 7000.0, 0.0), 205.0)
     qs = np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(p * 100)))
-    q = qs.copy()
-    q[0] = qs[0] * np.concatenate([[0.95] * 5, [0.8] * 5, [0.4] * 8])
-    q[1] = qs[1] * 0.2
+    q = qs * np.linspace(1.0, 0.25, kz)[None]
+    q[0] *= 0.97
+    q[1] *= 0.2
     vsp = np.tile(np.linspace(2, 15, kz), (2, 1))
     return (jnp.asarray(t), jnp.asarray(q), jnp.asarray(t),
             jnp.asarray(q), jnp.asarray(p), jnp.asarray(psur),
@@ -227,7 +234,7 @@ def _fingerprint_tiedtke():
 
 
 # frozen values (f64, CPU; regenerate: python tests/test_cumulus_oracles.py)
-FP_GRELL = (0.0004303327685353079, -0.001934999326972149, 5.738773420811599e-07)
+FP_GRELL = (0.0010059489970386732, 6.335288056756288e-05, -3.0976852333703356e-06)
 FP_EMANUEL = (0.0004014353598461984, 0.038221502329278345, 0.001171012023514073)
 FP_TIEDTKE = (0.00027662068229764573, 0.0022717101422183375, -8.969216005952693e-07)
 

@@ -195,15 +195,22 @@ def test_grell_convection():
     """Grell scheme (cup, Main/cumlib/mod_cu_grell.F90:460): moist
     unstable column convects with the FC80 closure; dry column inactive."""
     from regcm_tpu.physics.cumulus.grell import cup
+    # finely-spaced near-surface sigma grid: on a coarse (~57 hPa)
+    # grid the reference's pbcdif retry cycle correctly deactivates
+    # every column (verified vs the Fortran-loop oracle,
+    # test_grell_oracle.py)
     kz = 18
-    sig = np.linspace(0.995, 0.025, kz)
+    x = np.linspace(0.0, 1.0, kz)
+    sig = 0.995 - (0.995 - 0.03) * x ** 1.8
     psur = np.array([1013.0, 1013.0])
     p = sig[None] * (psur[:, None] - 50) + 50
-    t = np.maximum(302.0 * (p / psur[:, None]) ** 0.23, 200.0)
+    zz = 287.0 * 265.0 / 9.81 * np.log(psur[:, None] / p)
+    t = np.maximum(302.0 - 0.0078 * np.minimum(zz, 7000.0)
+                   - 0.0015 * np.maximum(zz - 7000.0, 0.0), 205.0)
     qs = np.asarray(pfwsat(jnp.asarray(t), jnp.asarray(p * 100)))
-    q = qs.copy()
-    q[0] = qs[0] * np.concatenate([[0.95] * 5, [0.8] * 5, [0.4] * 8])
-    q[1] = qs[1] * 0.2
+    q = qs * np.linspace(1.0, 0.25, kz)[None]
+    q[0] *= 0.97
+    q[1] *= 0.2
     vsp = np.tile(np.linspace(2, 15, kz), (2, 1))
     out = cup(jnp.asarray(t), jnp.asarray(q), jnp.asarray(t),
               jnp.asarray(q), jnp.asarray(p), jnp.asarray(psur),
