@@ -154,11 +154,16 @@ class ICBCReader:
 
 
 def main(argv=None):
+    """CLI with the reference's dattyp dispatch
+    (PreProc/ICBC/icbc.F90:273-345): ERA5, ERAIN/EIN*, NNRP*/CFS,
+    MP_* / HA_* (generic CMIP5 6hrLev), or synthetic."""
     import argparse
     ap = argparse.ArgumentParser(description="icbc preprocessor")
     ap.add_argument("namelist")
     ap.add_argument("--domain", default=None)
     ap.add_argument("--jet", type=float, default=0.0)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="ignore dattyp, make analytic ICBC")
     args = ap.parse_args(argv)
     cfg = RegCMConfig.from_file(args.namelist)
     if args.domain and os.path.exists(args.domain):
@@ -168,7 +173,39 @@ def main(argv=None):
         from .terrain import synthetic_topo
         topo, _, _ = synthetic_topo(cfg)
     out = f"{cfg.terrain.domname}_ICBC.{cfg.globdat.gdate1}.nc"
-    generate_synthetic_icbc(cfg, topo, out, jet=args.jet)
+    dattyp = cfg.globdat.dattyp.strip().upper()
+    if args.synthetic:
+        generate_synthetic_icbc(cfg, topo, out, jet=args.jet)
+        print(f"wrote {out}")
+        return 0
+    from ..core.grid import build_grid
+    from ..utils import constants as cconst
+    grid = build_grid(cfg)
+    topo_gp = np.pad(topo, ((0, 1), (0, 1)),
+                     mode="edge") * cconst.egrav
+    inpglob = cfg.globdat.inpglob
+    if dattyp.startswith("ERA5"):
+        from .era5 import generate_era5_icbc
+        generate_era5_icbc(cfg, grid, topo_gp, inpglob, out)
+    elif dattyp in ("ERAIN", "EIXXX") or dattyp.startswith("EIN"):
+        from .ein import generate_ein_icbc
+        generate_ein_icbc(cfg, grid, topo_gp, inpglob, out)
+    elif dattyp.startswith("NNRP") or dattyp.startswith("CFS"):
+        from .ncep import generate_ncep_icbc
+        generate_ncep_icbc(cfg, grid, topo_gp, inpglob, out,
+                           dattyp=dattyp)
+    elif dattyp[:3] in ("MP_", "HA_"):
+        from .gcm import generate_gcm_icbc
+        generate_gcm_icbc(cfg, grid, topo_gp, inpglob, out, dattyp)
+    elif dattyp == "FNEST":
+        raise SystemExit(
+            "dattyp=FNEST: use regcm_tpu.preproc.nest directly "
+            "(needs the coarse-run output path)")
+    else:
+        raise SystemExit(
+            f"dattyp {dattyp!r} not ported (supported: ERA5, "
+            f"ERAIN/EIN*, NNRP*/CFS, MP_* , HA_*, FNEST, "
+            f"--synthetic); reference dispatch icbc.F90:273-345")
     print(f"wrote {out}")
     return 0
 

@@ -534,3 +534,280 @@ def test_chem_icbc_climatology(tmp_path):
     edge_clean = np.abs(chi_clean[:, -1, :2, :]).max()
     assert edge_bc > edge_clean
     assert chi_bc.max() > 1e-12
+
+
+# ---------------------------------------------------------------------------
+# NNRP (NCEP/NCAR reanalysis) reader — mod_ncep.F90 equivalent
+# ---------------------------------------------------------------------------
+
+def _write_nnrp_fixture(root, year=1990):
+    """Synthetic CDC-layout yearly archive: packed int16 variables with
+    scale/offset, levels hPa DECREASING from 1000, rhum only on the
+    lowest 8 levels (the NNRP1 quirk, mod_ncep.F90:430)."""
+    from scipy.io import netcdf_file
+    from regcm_tpu.utils import constants as c
+    d = os.path.join(root, "NNRP1", f"{year:04d}")
+    os.makedirs(d, exist_ok=True)
+    lats = np.arange(70.0, 9.9, -2.5)
+    lons = np.arange(-20.0, 60.1, 2.5)
+    lev = np.array([1000., 925., 850., 700., 600., 500., 400., 300.,
+                    250., 200., 100.])           # decreasing (CDC)
+    nt = 9
+    ref = Date(1800, 1, 1)
+    t0 = (Date(year, 6, 1) - ref) / 3600.0
+    times = t0 + 6.0 * np.arange(nt)
+    p3 = lev[:, None, None] * 100.0
+    tfld = np.maximum(288.0 * (p3 / 101325.0) ** 0.19, 210.0) \
+        * np.ones((len(lev), len(lats), len(lons)))
+    zfld = (c.rgas * 255.0 / c.egrav) * np.log(101325.0 / p3) \
+        * np.ones_like(tfld)
+    ufld = 12.0 * np.exp(-((lats[None, :, None] - 40.0) / 10.0) ** 2) \
+        * (1.0 - lev[:, None, None] / 1100.0) * np.ones_like(tfld)
+    vfld = np.zeros_like(tfld)
+    rhfld = np.clip(80.0 - 40.0 * (1.0 - lev[:8, None, None] / 1000.0),
+                    5.0, 95.0) * np.ones((8, len(lats), len(lons)))
+
+    def pack(path, name, fld, flev):
+        f = netcdf_file(path, "w")
+        f.createDimension("time", None)
+        f.createDimension("level", len(flev))
+        f.createDimension("lat", len(lats))
+        f.createDimension("lon", len(lons))
+        for nm, vals in (("level", flev), ("lat", lats), ("lon", lons)):
+            v = f.createVariable(nm, "f", (nm,))
+            v[:] = vals.astype(np.float32)
+        tv = f.createVariable("time", "d", ("time",))
+        tv[:] = times
+        scale = (fld.max() - fld.min() + 1e-6) / 60000.0
+        off = 0.5 * (fld.max() + fld.min())
+        pv = f.createVariable(name, "h", ("time", "level", "lat",
+                                          "lon"))
+        pv.scale_factor = scale
+        pv.add_offset = off
+        packed = np.round((fld - off) / scale).astype(np.int16)
+        for n in range(nt):
+            pv[n] = packed
+        f.close()
+
+    pack(os.path.join(d, f"air.{year}.nc"), "air", tfld, lev)
+    pack(os.path.join(d, f"hgt.{year}.nc"), "hgt", zfld, lev)
+    pack(os.path.join(d, f"rhum.{year}.nc"), "rhum", rhfld, lev[:8])
+    pack(os.path.join(d, f"uwnd.{year}.nc"), "uwnd", ufld, lev)
+    pack(os.path.join(d, f"vwnd.{year}.nc"), "vwnd", vfld, lev)
+
+
+def test_nnrp_icbc_pipeline(cfg, tmp_path):
+    """NNRP archive → icbc → ICBC-driven model run (mod_ncep.F90
+    equivalent on a packed-int16 fixture in the CDC file layout)."""
+    import copy
+    import jax.numpy as jnp
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+    from regcm_tpu.preproc.ncep import (NCEPSource, ncep_fields,
+                                        generate_ncep_icbc)
+    from regcm_tpu.preproc.terrain import synthetic_topo
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 18, 14
+    cfg.geo.ds = 60.0
+    cfg.geo.clat, cfg.geo.clon = 40.0, 15.0
+    cfg.time.dt = 150.0
+    cfg.restart.mdate0 = cfg.restart.mdate1 = 1990060100
+    cfg.globdat.gdate1, cfg.globdat.gdate2 = 1990060100, 1990060200
+    _write_nnrp_fixture(str(tmp_path))
+    grid = build_grid(cfg)
+    src = NCEPSource(str(tmp_path), "NNRP1")
+    topo, _, _ = synthetic_topo(cfg)
+    topo_gp = np.pad(topo, ((0, 1), (0, 1)), mode="edge") * 9.80665
+    f = ncep_fields(cfg, grid, topo_gp, src, Date(1990, 6, 1))
+    assert np.isfinite(f["t"]).all() and np.isfinite(f["ps"]).all()
+    assert 200.0 < f["t"].min() and f["t"].max() < 320.0
+    assert 60000.0 < f["ps"].min() and f["ps"].max() < 106000.0
+    assert f["u"].max() > 4.0
+    assert f["qv"].max() > 1e-3          # rhum -> mixing ratio worked
+    path = str(tmp_path / "nnrp_icbc.nc")
+    generate_ncep_icbc(cfg, grid, topo_gp, str(tmp_path), path,
+                       dattyp="NNRP1")
+    from regcm_tpu.preproc.icbc import ICBCReader
+    m = Model(cfg, grid=grid, dtype=jnp.float64, physics=False)
+    m.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
+    m.run_icbc(3)
+
+
+# ---------------------------------------------------------------------------
+# CMIP5 6hrLev GCM readers — mod_gn6hnc + mpiesm/hadgem helpers
+# ---------------------------------------------------------------------------
+
+def _hybrid_profile(nlev):
+    """ap/b hybrid coefficients spanning ~10 hPa .. surface."""
+    x = (np.arange(nlev) + 0.5) / nlev          # 0=top, 1=bottom
+    bk = np.clip((x - 0.2) / 0.8, 0.0, 1.0) ** 1.4
+    ak = 1.0e3 + (1.0 - bk) * x * 3.0e4
+    return ak, bk
+
+
+def _gcm_atmos(ak, bk, lats, lons):
+    from regcm_tpu.utils import constants as c
+    ps = 101325.0 * np.ones((len(lats), len(lons)))
+    p3 = ak[:, None, None] + bk[:, None, None] * ps[None]
+    t = np.maximum(288.0 * (p3 / 101325.0) ** 0.19, 210.0)
+    es = 610.0 * np.exp(17.67 * (t - 273.15) / (t - 29.65))
+    q = np.clip(0.6 * 0.622 * es / p3, 1e-7, 0.02)
+    u = 10.0 * np.exp(-((lats[None, :, None] - 40.0) / 12.0) ** 2) \
+        * (1.0 - bk[:, None, None] * 0.6) * np.ones_like(t)
+    v = np.zeros_like(t)
+    return ps, t, q, u, v
+
+
+def _write_mpiesm_fixture(root, year=1990, month=6, nt=9):
+    """MPI-ESM-MR 6hrLev monthly per-variable layout
+    (mod_mpiesm_helper.F90:96-130): ap/b hybrid + aps + geosp in the
+    ta file."""
+    from regcm_tpu.io.ncio import NCWriter
+    lats = np.arange(15.0, 66.0, 2.5)
+    lons = np.arange(-15.0, 56.0, 2.5)
+    nlev = 12
+    ak, bk = _hybrid_profile(nlev)
+    ps, t, q, u, v = _gcm_atmos(ak, bk, lats, lons)
+    zs = 200.0 * np.exp(-((lats[:, None] - 45.0) / 8.0) ** 2) \
+        * np.ones((len(lats), len(lons)))
+    base = f"_6hrLev_MPI-ESM-MR_historical_r1i1p1_"
+    y2, m2 = (year, month + 1) if month < 12 else (year + 1, 1)
+    d1 = f"{year:04d}{month:02d}0100" + "00"
+    d2 = f"{y2:04d}{m2:02d}0100" + "00"
+    for var, fld in (("ta", t), ("hus", q), ("ua", u), ("va", v)):
+        d = os.path.join(root, "MPI-ESM-MR", "RF", var)
+        os.makedirs(d, exist_ok=True)
+        w = NCWriter(os.path.join(d, f"{var}{base}{d1}-{d2}.nc"),
+                     dims={"lev": nlev, "lat": len(lats),
+                           "lon": len(lons)})
+        w.def_static("lat", ("lat",), lats)
+        w.def_static("lon", ("lon",), lons)
+        w.def_static("ap", ("lev",), ak)
+        w.def_static("b", ("lev",), bk)
+        if var == "ta":
+            w.def_static("geosp", ("lat", "lon"), zs * 9.80665)
+            w.def_time_var("aps", ("lat", "lon"))
+        w.def_time_var(var, ("lev", "lat", "lon"))
+        for n in range(nt):
+            rec = {var: fld}
+            if var == "ta":
+                rec["aps"] = ps
+            w.write_record(6.0 * n, rec)
+        w.close()
+
+
+def test_mpiesm_icbc_pipeline(cfg, tmp_path):
+    """MPI-ESM-MR archive → icbc → ICBC-driven model run."""
+    import copy
+    import jax.numpy as jnp
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+    from regcm_tpu.preproc.gcm import (GCMSource, gcm_fields,
+                                       generate_gcm_icbc)
+    from regcm_tpu.preproc.terrain import synthetic_topo
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 18, 14
+    cfg.geo.ds = 60.0
+    cfg.geo.clat, cfg.geo.clon = 40.0, 15.0
+    cfg.time.dt = 150.0
+    cfg.restart.mdate0 = cfg.restart.mdate1 = 1990060100
+    cfg.globdat.gdate1, cfg.globdat.gdate2 = 1990060100, 1990060200
+    cfg.globdat.dattyp = "MP_RF"
+    _write_mpiesm_fixture(str(tmp_path))
+    grid = build_grid(cfg)
+    src = GCMSource(str(tmp_path), "MP_RF")
+    topo, _, _ = synthetic_topo(cfg)
+    topo_gp = np.pad(topo, ((0, 1), (0, 1)), mode="edge") * 9.80665
+    f = gcm_fields(cfg, grid, topo_gp, src, Date(1990, 6, 1))
+    assert np.isfinite(f["t"]).all() and np.isfinite(f["ps"]).all()
+    assert 200.0 < f["t"].min() and f["t"].max() < 320.0
+    assert 60000.0 < f["ps"].min() and f["ps"].max() < 106000.0
+    assert f["u"].max() > 3.0
+    path = str(tmp_path / "mpiesm_icbc.nc")
+    generate_gcm_icbc(cfg, grid, topo_gp, str(tmp_path), path,
+                      "MP_RF")
+    from regcm_tpu.preproc.icbc import ICBCReader
+    m = Model(cfg, grid=grid, dtype=jnp.float64, physics=False)
+    m.init_from_icbc(ICBCReader(path, cfg.globdat.calendar))
+    m.run_icbc(3)
+
+
+def _write_hadgem_fixture(root):
+    """HadGEM2-ES 6hrLev layout (mod_hadgem_helper.F90): quarterly
+    atmospheric files from Jun 1 06, Dec->Dec yearly ps file, 360-day
+    calendar; 'orog' rides the ta file; lev/b used as ak+bk*ps."""
+    from regcm_tpu.io.ncio import NCWriter
+    lats = np.arange(15.0, 66.0, 2.5)
+    lons = np.arange(-15.0, 56.0, 2.5)
+    nlev = 10
+    ak, bk = _hybrid_profile(nlev)
+    ps, t, q, u, v = _gcm_atmos(ak, bk, lats, lons)
+    zs = 150.0 * np.exp(-((lats[:, None] - 45.0) / 9.0) ** 2) \
+        * np.ones((len(lats), len(lons)))
+    base = "_6hrLev_HadGEM2-ES_historical_r1i1p1_"
+    # atmospheric quarter Jun 1 06 -> Sep 1 00; write 8 records
+    for var, fld in (("ta", t), ("hus", q), ("ua", u), ("va", v)):
+        d = os.path.join(root, "HadGEM2-ES", "RF", var)
+        os.makedirs(d, exist_ok=True)
+        w = NCWriter(os.path.join(
+            d, f"{var}{base}1990060106-1990090100.nc"),
+            dims={"lev": nlev, "lat": len(lats), "lon": len(lons)})
+        w.def_static("lat", ("lat",), lats)
+        w.def_static("lon", ("lon",), lons)
+        w.def_static("lev", ("lev",), ak)
+        w.def_static("b", ("lev",), bk)
+        if var == "ta":
+            w.def_static("orog", ("lat", "lon"), zs)
+        w.def_time_var(var, ("lev", "lat", "lon"))
+        for n in range(8):
+            w.write_record(6.0 * n, {var: fld})
+        w.close()
+    # ps: Dec 2 1989 06 -> Dec 2 1990 00 (360-day arithmetic)
+    d = os.path.join(root, "HadGEM2-ES", "RF", "ps")
+    os.makedirs(d, exist_ok=True)
+    start = Date(1989, 12, 2, 6, calendar="360_day")
+    tgt = Date(1990, 6, 1, 6, calendar="360_day")
+    hh0 = (tgt - start) / 3600.0
+    w = NCWriter(os.path.join(
+        d, f"ps{base}1989120206-1990120200.nc"),
+        dims={"lat": len(lats), "lon": len(lons)})
+    w.def_static("lat", ("lat",), lats)
+    w.def_static("lon", ("lon",), lons)
+    w.def_time_var("ps", ("lat", "lon"))
+    # first record at file start (offset 0) then records around the
+    # target date so nearest-offset resolution lands exactly
+    for off in [0.0, hh0, hh0 + 6.0, hh0 + 12.0, hh0 + 18.0]:
+        w.write_record(off, {"ps": ps})
+    w.close()
+
+
+def test_hadgem_icbc_fields(cfg, tmp_path):
+    """HadGEM2-ES archive → gcm_fields on the 360-day calendar."""
+    import copy
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.preproc.gcm import GCMSource, gcm_fields
+    from regcm_tpu.preproc.terrain import synthetic_topo
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx, cfg.dim.kz = 14, 18, 14
+    cfg.geo.ds = 60.0
+    cfg.geo.clat, cfg.geo.clon = 40.0, 15.0
+    cfg.globdat.calendar = "360_day"
+    _write_hadgem_fixture(str(tmp_path))
+    grid = build_grid(cfg)
+    src = GCMSource(str(tmp_path), "HA_RF")
+    topo, _, _ = synthetic_topo(cfg)
+    topo_gp = np.pad(topo, ((0, 1), (0, 1)), mode="edge") * 9.80665
+    f = gcm_fields(cfg, grid, topo_gp, src,
+                   Date(1990, 6, 1, 6, calendar="360_day"))
+    assert np.isfinite(f["t"]).all() and np.isfinite(f["ps"]).all()
+    assert 200.0 < f["t"].min() and f["t"].max() < 320.0
+    assert 60000.0 < f["ps"].min() and f["ps"].max() < 106000.0
+    assert f["u"].max() > 3.0
+    assert f["qv"].max() > 1e-3
+
+
+def test_gcm_unknown_dattyp_refused():
+    from regcm_tpu.preproc.gcm import GCMSource
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not ported"):
+        GCMSource("/tmp", "CA_RF")
