@@ -142,6 +142,10 @@ class OutParam:
     lakfrq: float = 6.0
     dirout: str = "./output"
     prestr: str = ""
+    # "netcdf" (single-writer NetCDF-3) or "zarr" (sharded Zarr-v2
+    # store; the do_parallel_netcdf_out analogue,
+    # Share/mod_ncstream.F90:118-146)
+    backend: str = "netcdf"
     extras: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -510,11 +510,19 @@ class Model:
         self._icbc = reader
 
     def open_output(self, outdir: Optional[str] = None,
-                    append: bool = False):
+                    append: bool = False,
+                    backend: Optional[str] = None):
+        """backend="zarr" selects the sharded Zarr-v2 store — the
+        do_parallel_netcdf_out analogue (Share/mod_ncstream.F90:118),
+        where every device shard writes its own chunk file and 3-D
+        streams never funnel through a full-grid host buffer."""
         from .io.output import OutputStreams
         outdir = outdir or self.cfg.out.dirout
+        backend = backend or getattr(self.cfg.out, "backend",
+                                     "netcdf")
         self.streams = OutputStreams(
-            self, outdir, self.cfg.terrain.domname, append=append)
+            self, outdir, self.cfg.terrain.domname, append=append,
+            backend=backend)
         return self.streams
 
     def run_with_output(self, nsteps: int):

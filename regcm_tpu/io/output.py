@@ -56,9 +56,18 @@ class OutputStreams:
     """ATM/SRF/RAD/STS[/LAK] NetCDF streams for a model run."""
 
     def __init__(self, model, outdir: str, domname: str = "domain",
-                 append: bool = False, async_write: bool = True):
+                 append: bool = False, async_write: bool = True,
+                 backend: str = "netcdf"):
         self.model = model
         self.outdir = outdir
+        # backend="zarr" selects the sharded Zarr-v2 store (zarrio):
+        # the reference's do_parallel_netcdf_out equivalent
+        # (Share/mod_ncstream.F90:118-146) — each device shard writes
+        # its own chunk file and the 3-D streams (ATM/RAD/CHE) never
+        # gather a full-grid field into one host buffer.
+        if backend not in ("netcdf", "zarr"):
+            raise ValueError(f"unknown output backend '{backend}'")
+        self.backend = backend
         # async writer: NetCDF encoding/disk IO happens on a worker
         # thread so flagship-scale output alarms overlap the next
         # device steps (records are host numpy copies, handed off by
@@ -109,9 +118,15 @@ class OutputStreams:
             "rotsin", np.zeros((iy, jx))))[: iy - 1, : jx - 1]
 
         def mk(stream, extra_dims=()):
-            w = NCWriter(os.path.join(
-                outdir, f"{domname}_{stream}.{tag}00.nc"), dims, attrs,
-                append=append)
+            if self.backend == "zarr":
+                from .zarrio import ZarrWriter
+                w = ZarrWriter(os.path.join(
+                    outdir, f"{domname}_{stream}.{tag}00.zarr"),
+                    dims, attrs, append=append)
+            else:
+                w = NCWriter(os.path.join(
+                    outdir, f"{domname}_{stream}.{tag}00.nc"), dims,
+                    attrs, append=append)
             if not append:
                 w.def_static("sigma", ("kz",), g.hsigma, "1",
                              "sigma at model layers")
@@ -301,6 +316,11 @@ class OutputStreams:
         self._last_rainc = 0.0
         self._sts_reset()
         self._sts_day = None
+        # jitted device-side record builders (zarr backend): sharded
+        # in → sharded out, so each shard goes straight to its chunk
+        # file with no full-grid host gather
+        self._atm_fn = None
+        self._che_fn = None
 
     # -- STS accumulation ------------------------------------------------
     def _sts_reset(self):
@@ -381,10 +401,82 @@ class OutputStreams:
             "sund": d["sund"]})
         self._sts_reset()
 
+    # -- sharded (zarr) record builders ----------------------------------
+    def _make_atm_fn(self):
+        """Jitted ATM record: all decoupling/rotation math on device,
+        returning the cut interior fields still carrying their mesh
+        sharding (the zarr writer consumes the shards directly)."""
+        import jax
+        import jax.numpy as jnp
+        from ..core.state import IQV, IQC
+        m = self.model
+        iy, jx, kz = m.grid.iy, m.grid.jx, m.grid.kz
+        cut = lambda a: a[..., : iy - 1, : jx - 1]
+        rotc = jnp.asarray(self.rotcos)
+        rots = jnp.asarray(self.rotsin)
+        nqx, has_tke = self.nqx, self.has_tke
+
+        if m.idynamic == 3:
+            def fn(s):
+                atms = m.core.mkslice(s.t, s.pai, s.qx, s.u, s.v, s.w)
+                ux, vx = m.core.uvstag2x(s.u, s.v)
+                u, v = cut(ux), cut(vx)
+                rec = dict(ua=u * rotc - v * rots,
+                           va=v * rotc + u * rots,
+                           ta=cut(s.t), hus=cut(s.qx[0]),
+                           clw=cut(s.qx[1]),
+                           wa=cut(0.5 * (s.w[:-1] + s.w[1:])),
+                           ps=cut(atms["ps2d"]) / 100.0)
+                if nqx == 5:
+                    rec.update(clr=cut(s.qx[2]), cli=cut(s.qx[3]),
+                               cls=cut(s.qx[4]))
+                return rec
+            return jax.jit(fn)
+
+        from ..dynamics.stencil import cross2dot
+
+        def fn(s, omega):
+            rps = 1.0 / s.ps_a
+            rpsd = 1.0 / cross2dot(s.ps_a)
+            u, v = cut(s.u_a * rpsd[None]), cut(s.v_a * rpsd[None])
+            rec = dict(ua=u * rotc - v * rots,
+                       va=v * rotc + u * rots,
+                       ta=cut(s.t_a * rps[None]),
+                       hus=cut(s.qx_a[IQV] * rps[None]),
+                       clw=cut(s.qx_a[IQC] * rps[None]),
+                       wa=cut(omega) * 10.0,
+                       ps=cut((s.ps_a + m.grid.ptop) * 10.0))
+            if nqx == 5:
+                rec.update(clr=cut(s.qx_a[2] * rps[None]),
+                           cli=cut(s.qx_a[3] * rps[None]),
+                           cls=cut(s.qx_a[4] * rps[None]))
+            if has_tke:
+                rec["tke"] = cut(s.tke_a[:kz])
+            return rec
+        return jax.jit(fn)
+
+    def _write_atm_sharded(self):
+        import jax.numpy as jnp
+        m = self.model
+        if self._atm_fn is None:
+            self._atm_fn = self._make_atm_fn()
+        if m.idynamic == 3:
+            rec = self._atm_fn(m.state)
+        else:
+            om = getattr(m, "last_diags", {}).get("omega", None)
+            if om is None:
+                om = jnp.zeros((m.grid.kz, m.grid.iy, m.grid.jx),
+                               m.state.t_a.dtype)
+            rec = self._atm_fn(m.state, om)
+        self._put(self.atm, _hours_since_epoch(m.date), dict(rec))
+
     # -- per-alarm writers ----------------------------------------------
     def write_atm(self):
         import jax
         m = self.model
+        if self.backend == "zarr":
+            self._write_atm_sharded()
+            return
         dec = m.decoupled()                       # one batched fetch
         iy, jx = m.grid.iy, m.grid.jx
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
@@ -465,6 +557,13 @@ class OutputStreams:
         m = self.model
         s = m.state
         iy, jx = m.grid.iy, m.grid.jx
+        if self.backend == "zarr":
+            # device-side cut; shards go straight to chunk files
+            dcut = lambda a: a[..., : iy - 1, : jx - 1]
+            self._put(self.rad, _hours_since_epoch(m.date),
+                      dict(rsns=dcut(s.swsfc), rlns=dcut(s.lwsfc),
+                           tendh=dcut(s.heatrt)))
+            return
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
         h = jax.device_get(dict(rsns=s.swsfc, rlns=s.lwsfc,
                                 tendh=s.heatrt))
@@ -493,6 +592,28 @@ class OutputStreams:
         cut = lambda a: np.asarray(a)[..., : iy - 1, : jx - 1]
         import jax
         import jax.numpy as jnp
+        if self.backend == "zarr":
+            if self._che_fn is None:
+                dsig_d = jnp.asarray(np.asarray(m.grid.dsigma))[
+                    :, None, None]
+                dcut = lambda a: a[..., : iy - 1, : jx - 1]
+                names = self.chnames
+
+                def fn(st):
+                    chi = st.chi_a / st.ps_a[None, None]
+                    rec = {f"mixrat_{nm.lower()}": dcut(chi[i])
+                           for i, nm in enumerate(names)}
+                    rec["burden"] = dcut(
+                        (st.chi_a * dsig_d[None]).sum(axis=1)
+                        * 1000.0 / 9.80665)
+                    rec["emflx_acc"] = dcut(st.chemdiag[0])
+                    rec["ddflx_acc"] = dcut(st.chemdiag[1])
+                    rec["wdflx_acc"] = dcut(st.chemdiag[2])
+                    return rec
+                self._che_fn = jax.jit(fn)
+            self._put(self.che, _hours_since_epoch(m.date),
+                      dict(self._che_fn(s)))
+            return
         dsig = jnp.asarray(np.asarray(m.grid.dsigma))[None, :, None,
                                                       None]
         h = jax.device_get(dict(
