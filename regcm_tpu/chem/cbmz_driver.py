@@ -54,9 +54,14 @@ class GasChemDriver:
         self.jval_fn = jval_fn
         self.fix_fn = fix_fn
         self.h2o_var = h2o_var
+        # tracers absent from the mechanism (aerosols, inert NH3 in
+        # the DCCB set) are skipped — the reference's indcbmz<0 guard
+        # (mod_che_chemistry.F90:100,135)
         self.indmech = np.array(
-            [mech.SPECIES.index(n) for n in spec.names], np.int32)
-        self.mw = np.array([mech.MW[i] for i in self.indmech])
+            [mech.SPECIES.index(n) if n in mech.SPECIES else -1
+             for n in spec.names], np.int32)
+        self.mw = np.array([mech.MW[i] if i >= 0 else 1.0
+                            for i in self.indmech])
         self.kmin = 1              # skip topmost level (kmin=2 1-based)
         self.ptrop_pa = 1.0e4      # stratosphere cutoff
         self.ichjphcld = int(getattr(cfg.chem, "ichjphcld", 1))
@@ -99,6 +104,8 @@ class GasChemDriver:
         var0 = jnp.zeros((ncell, nvar), tb3.dtype)
         cf_flat = flat(cfactor[None])[:, 0]
         for n in range(ntr):
+            if self.indmech[n] < 0:
+                continue
             conc = flat(chi[n][None])[:, 0] * cf_flat / self.mw[n]
             var0 = var0.at[:, self.indmech[n]].set(conc)
         wtr = flat(qv[None])[:, 0] * cf_flat / AMW_H2O
@@ -117,6 +124,8 @@ class GasChemDriver:
         dvar = (varo - var0).T.reshape((nvar, kz, iy, jx))
         pfact = cpl[None] / cfactor / dt
         for n in range(ntr):
+            if self.indmech[n] < 0:
+                continue
             ten = dvar[self.indmech[n]] * pfact * self.mw[n]
             chemten = chemten.at[n].set(jnp.where(solve, ten, 0.0))
         return chemten

@@ -6,9 +6,9 @@ The reference fixes the tracer table in ``mod_che_start.F90``
 ``mod_che_indices.F90``.  Implemented simulations: the dust sets
 (``DUST``/``DU12``), sea salt (``SSLT``), dust+seasalt (``DUSS``),
 carbonaceous (``CARB``), sulfur (``SULF``), sulfur+carbon (``SUCA``),
-the full aerosol mix (``AERO``), ``POLLEN``, and the CBMZ gas phase
-(``CBMZ``).  DCCB (CBMZ+aerosols+ISORROPIA) stays a config-time
-refusal until the ISORROPIA equilibrium port.
+the full aerosol mix (``AERO``), ``POLLEN``, the CBMZ gas phase
+(``CBMZ``), CB6r2 (``CB6``), and ``DCCB`` (CBMZ + aerosols + the
+SNA thermodynamic equilibrium, chem/sna.py).
 
 Scientific constant tables (bin edges, effective diameters,
 densities, solubilities) are the reference's published aerosol
@@ -79,6 +79,7 @@ class ChemSpec:
     sol: np.ndarray               # solubility fraction chtrsol
     ioxclim: int = 0              # prescribed oxidant climatology
     igaschem: int = 0             # interactive gas-phase solver
+    isna: int = 0                 # SNA thermodynamic equilibrium
     # carbon aging pairs (hydrophobic idx → hydrophilic idx)
     aging_pairs: List[tuple] = field(default_factory=list)
 
@@ -109,7 +110,7 @@ class ChemSpec:
 
 
 SUPPORTED_CHEMSIM = ("DUST", "DU12", "SSLT", "DUSS", "CARB", "SULF",
-                     "SUCA", "AERO", "POLLEN", "CBMZ", "CB6")
+                     "SUCA", "AERO", "POLLEN", "CBMZ", "CB6", "DCCB")
 
 
 def _dust(nbin):
@@ -206,6 +207,45 @@ def build_species(chemsimtype: str) -> Optional[ChemSpec]:
         kind = ["so2" if n == "SO2" else "gas" for n in CBMZ_TRACERS]
         return _mk(sim, list(CBMZ_TRACERS), kind, [0.0] * ntr,
                    [0.0] * ntr, list(CBMZ_TRACER_SOL), igaschem=1)
+    if sim == "DCCB":
+        # CBMZ gas phase + the full aerosol mix + SNA equilibrium
+        # (mod_che_common.F90:341-380, ismoke=0 → 50 tracers;
+        # iisoropia=1 handled by chem/sna.py).  NH3 is transported
+        # but inert in the gas mechanism (indcbmz<0 skip,
+        # mod_che_chemistry.F90:100); H2SO4/ANO3/ANH4 join the carb
+        # deposition group with reffochl/solso4
+        # (mod_che_start.F90:158-181).
+        try:
+            from ._cbmz_mech_data import CBMZ_TRACERS, CBMZ_TRACER_SOL
+        except ImportError as e:
+            raise ValueError(
+                "chemsimtype='DCCB' needs the generated CBMZ "
+                f"mechanism tables (_cbmz_mech_data.py): {e}") from e
+        gnames = list(CBMZ_TRACERS)
+        ng = len(gnames)
+        gkind = ["so2" if n == "SO2" else
+                 ("carb" if n == "H2SO4" else "gas") for n in gnames]
+        gdiam = [REFFHL if n == "H2SO4" else 0.0 for n in gnames]
+        grho = [RHOCARB_GROUP if n == "H2SO4" else 0.0
+                for n in gnames]
+        gsol = [SOLSO4 if n == "H2SO4" else s
+                for n, s in zip(gnames, CBMZ_TRACER_SOL)]
+        dnames, bed, bsz = _dust(4)
+        names = gnames + ["NH3"] + dnames + list(_CARB_NAMES) \
+            + ["SSLT01", "SSLT02"] + ["ANO3", "ANH4"]
+        kind = gkind + ["gas"] + ["dust"] * 4 + ["carb"] * 4 \
+            + ["sslt"] * 2 + ["carb"] * 2
+        diam = gdiam + [0.0] + list(bed) + _CARB_DIAM \
+            + list(SSLTBED) + [REFFHL] * 2
+        rho = grho + [0.0] + [RHODUST] * 4 + [RHOCARB_GROUP] * 4 \
+            + [RHOSSLT] * 2 + [RHOCARB_GROUP] * 2
+        sol = gsol + [0.0] + [SOLDUST] * 4 + _CARB_SOL \
+            + [SOLSSLT] * 2 + [SOLSO4] * 2
+        sp = _mk(sim, names, kind, diam, rho, sol, bin_size=bsz,
+                 igaschem=1, isna=1)
+        ib = ng + 5                       # BC_HL position
+        sp.aging_pairs = [(ib + 1, ib), (ib + 3, ib + 2)]
+        return sp
     if sim == "CB6":
         # the reference ships the full KPP CB6r2 mechanism
         # (GAS_CB6r2/) but wires no chemsimtype to it; regcm_tpu
@@ -222,6 +262,6 @@ def build_species(chemsimtype: str) -> Optional[ChemSpec]:
                    [0.0] * ntr, list(CB6_TRACER_SOL), igaschem=1)
     raise ValueError(
         f"chemparam chemsimtype='{chemsimtype}' is not implemented in "
-        f"regcm_tpu (supported: {SUPPORTED_CHEMSIM}; DCCB needs the "
-        "ISORROPIA equilibrium port; MINE needs soil mineralogy "
-        "data). Refusing to run with silently-disabled chemistry.")
+        f"regcm_tpu (supported: {SUPPORTED_CHEMSIM}; MINE needs soil "
+        "mineralogy data). Refusing to run with silently-disabled "
+        "chemistry.")

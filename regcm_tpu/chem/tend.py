@@ -133,6 +133,11 @@ class ChemTend:
             from .cbmz_driver import Cb6Driver, CbmzDriver
             mk = Cb6Driver if spec.simtype == "CB6" else CbmzDriver
             self.cbmz = mk(cfg, grid, spec, dtype=dtype)
+        # -- SNA thermodynamic equilibrium (DCCB iisoropia) ------------
+        self.sna = None
+        if getattr(spec, "isna", 0):
+            from .sna import SnaDriver
+            self.sna = SnaDriver(spec)
 
     def __call__(self, core, atms, s, cldfra_ls, cum_cldfra,
                  remrat, rembc, conv_prate, dt, ls_prate=None
@@ -298,6 +303,11 @@ class ChemTend:
         if self.cbmz is not None:
             chemten = self.cbmz(atms, s, chib, cpl, dt)
             chiten = chiten + chemten
+
+        # -- SNA equilibrium repartition (aerodriver,
+        #    mod_che_isorropia.F90:64-161, iisoropia==1) --------------
+        if self.sna is not None:
+            chiten = chiten + self.sna(atms, s, chib, cpl, dt)
 
         return chiten * core.m_ci[None, None], diag
 
