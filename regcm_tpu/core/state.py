@@ -154,6 +154,11 @@ class BdyState(NamedTuple):
     # clean (zero) inflow air)
     chi0: Optional[jax.Array] = None
     chit: Optional[jax.Array] = None
+    # slab-ocean q-flux adjustment (SOM monthly qflx, read_som
+    # Main/mod_ncio.F90:1130-1169 → qflb0/qflbt of mod_slabocean;
+    # here the month-interpolated value refreshed at each boundary
+    # alarm). None unless do_qflux_adj with an attached SOM file.
+    qflb0: Optional[jax.Array] = None
 
 
 def zeros_hydro(kz: int, iy: int, jx: int, nqx: int = 2, nsplit: int = 2,

@@ -462,7 +462,10 @@ class Model:
             qv0=qv0, qvt=(qv1 - qv0) / dtbdy,
             u0=u0, ut=(u1 - u0) / dtbdy,
             v0=v0, vt=(v1 - v0) / dtbdy,
-            chi0=chi0, chit=chit)
+            chi0=chi0, chit=chit,
+            qflb0=(self._som_value()
+                   if getattr(self, "_som_qflx", None) is not None
+                   else None))
         self.xbctime = 0.0
 
     def run_icbc(self, nsteps: int):
@@ -508,6 +511,42 @@ class Model:
         the SAV already holds the current b0/bt pair + cursor, so no
         update is needed until the next ibdyfrq alarm)."""
         self._icbc = reader
+
+    def attach_som(self, path: str):
+        """Attach a SOM monthly q-flux file (open_som/read_som,
+        Main/mod_ncio.F90:753-770,1130-1169): the slab ocean's
+        ``do_qflux_adj`` heat-flux adjustment.  The 12 monthly qflx
+        records are mid-month nodes; the month-interpolated value is
+        refreshed into ``bdy.qflb0`` at every boundary alarm (the
+        reference forms a qflb0/qflbt pair per month — same linear
+        interpolation, sampled at the ibdyfrq cadence)."""
+        from .io.ncio import read_nc
+        d = read_nc(path)
+        q = np.asarray(d["qflx"], dtype=np.float64)
+        if q.shape[0] != 12:
+            raise ValueError(
+                f"SOM file {path}: expected 12 monthly qflx records, "
+                f"got {q.shape[0]}")
+        iy, jx = self.grid.iy, self.grid.jx
+        if q.shape[-2:] != (iy, jx):
+            # interior-extent file → edge-replicate to the full grid
+            py = iy - q.shape[-2]
+            px = jx - q.shape[-1]
+            q = np.pad(q, ((0, 0), (0, py), (0, px)), mode="edge")
+        self._som_qflx = jnp.asarray(q, self.dtype)
+        if self.bdy is not None:
+            self.bdy = self.bdy._replace(qflb0=self._som_value())
+
+    def _som_value(self):
+        """Mid-month linear interpolation of the monthly qflx
+        (som_search month bracketing, mod_ncio.F90:1080-1128)."""
+        d = self.date
+        pos = d.month + (d.day - 15) / 30.0          # mid-month nodes
+        m0 = int(np.floor(pos)) if pos >= 1 else 12
+        w = pos - np.floor(pos)
+        i0 = (m0 - 1) % 12
+        i1 = m0 % 12
+        return (1.0 - w) * self._som_qflx[i0] + w * self._som_qflx[i1]
 
     def open_output(self, outdir: Optional[str] = None,
                     append: bool = False,

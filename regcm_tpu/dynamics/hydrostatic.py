@@ -26,6 +26,7 @@ from ..core.grid import ModelGrid
 from ..core.state import HydroState, BdyState, StepFlags, IQV, IQC
 from ..config.params import RegCMConfig
 from ..utils import constants as c
+from ..utils.tpu_math import cumsum_mm
 from ..utils.thermo import pfesat, pfwsat, wlh
 from . import stencil
 from .stencil import (shift, shifte, kshift, cross2dot, dot2cross,
@@ -93,12 +94,15 @@ class HydroCore:
         uoffc = float(ex.get("uoffc", 0.25))
         self.ul_adv = uoffc * 0.5 * cfg.dtsec / self.dx
         self.idiffu = int(getattr(cfg.physics, "idiffu", 1))
-        if self.idiffu not in (1, 2):
+        if self.idiffu not in (1, 2, 3):
             raise ValueError(
                 "physicsparam idiffu=%d is not implemented in "
                 "regcm_tpu (1 = split-order deformation scheme, 2 = "
-                "9-point 4th-order; the idiffu=3 6th-order "
-                "slope-limited scheme is planned)" % self.idiffu)
+                "9-point 4th-order, 3 = 6th-order monotonic)"
+                % self.idiffu)
+        # idiffu=3 constant coefficient (initialize_diffusion,
+        # Main/mod_diffusion.F90:154: 0.12·0.015625/(2·dt))
+        self.diff6 = 0.12 * 0.015625 / (2.0 * cfg.dtsec)
 
         # 2-D constants
         self.msfx = f(g.msfx)
@@ -447,7 +451,7 @@ class HydroCore:
         inc = -(pten[None] + div) * self.dsig3 * rpsa[None]
         qdot = jnp.concatenate(
             [jnp.zeros((1, iy, jx), self.dtype),
-             jnp.cumsum(inc, axis=0)], axis=0)
+             cumsum_mm(inc, axis=0)], axis=0)
         # top & bottom interfaces are zero by construction/convention
         qdot = qdot.at[kz].set(0.0)
         # omega (cb/s) at half levels, interior cross
@@ -483,7 +487,7 @@ class HydroCore:
                                           / (self.sig3[:-1] + cell))
         # zq[k] = sum of dzq from below: zq[kz]=0
         zq = jnp.concatenate(
-            [jnp.flip(jnp.cumsum(jnp.flip(dzq_fac, 0), axis=0), 0),
+            [cumsum_mm(dzq_fac, axis=0, reverse=True),
              jnp.zeros((1, iy, jx), self.dtype)], axis=0)
         za = 0.5 * (zq[:-1] + zq[1:])
         dzq = zq[:-1] - zq[1:]
@@ -530,8 +534,15 @@ class HydroCore:
         xkd = 0.25 * (xkc_raw + shifte(xkc_raw, -1, -1)
                       + shifte(xkc_raw, 0, -1) + shifte(xkc_raw, -1, 0))
         rdxsq = 1.0 / (self.dx * self.dx)
-        xkc = xkc_raw * rdxsq * psb[None]
-        xkd = xkd * rdxsq * psdotb[None]
+        if self.idiffu == 3:
+            # constant 6th-order coefficient (calc_coeff,
+            # mod_diffusion.F90:174-183: diff_6th_coef·p*, no
+            # deformation dependence, no 1/dx²)
+            xkc = self.diff6 * psb[None] * jnp.ones_like(xkc_raw)
+            xkd = self.diff6 * psdotb[None] * jnp.ones_like(xkc_raw)
+        else:
+            xkc = xkc_raw * rdxsq * psb[None]
+            xkd = xkd * rdxsq * psdotb[None]
 
         # -- advection (mod_tendency.F90:1270-1426) ----------------------
         # precompute (start_advect)
@@ -773,7 +784,7 @@ class HydroCore:
         incs = -c.rgas * tvavg_up * logfac[:-1]          # (kz-1, iy, jx)
         # phi[k] = phi[k+1] + incs[k] (k from kz-2 down)
         phi = jnp.concatenate(
-            [jnp.flip(jnp.cumsum(jnp.flip(incs, 0), axis=0), 0)
+            [cumsum_mm(incs, axis=0, reverse=True)
              + phi_kz[None], phi_kz[None]], axis=0)
         # ps-gradient part
         hpsx2 = 0.5 * (psa + shift(psa, -1, 0))      # avg over y-1,y at x
@@ -1031,7 +1042,7 @@ class HydroCore:
         rhb3 = jnp.clip(qvb3 / qsb3, self.rhmin, self.rhmax)
         dzq = (pf3[1:] - pf3[:-1]) / (rhob3 * c.egrav)
         zq = jnp.concatenate(
-            [jnp.flip(jnp.cumsum(jnp.flip(dzq, 0), axis=0), 0),
+            [cumsum_mm(dzq, axis=0, reverse=True),
              jnp.zeros((1, iy, jx), self.dtype)], axis=0)
         za = 0.5 * (zq[:-1] + zq[1:])
         if coszrs is None:
@@ -1065,9 +1076,13 @@ class HydroCore:
         xkd = 0.25 * (xkc_raw + shifte(xkc_raw, -1, -1)
                       + shifte(xkc_raw, 0, -1) + shifte(xkc_raw, -1, 0))
         rdxsq = 1.0 / (self.dx * self.dx)
-        xkc = xkc_raw * rdxsq * psb[None]
+        if self.idiffu == 3:
+            xkc = self.diff6 * psb[None] * jnp.ones_like(xkc_raw)
+            xkd = self.diff6 * psdotb[None] * jnp.ones_like(xkc_raw)
+        else:
+            xkc = xkc_raw * rdxsq * psb[None]
+            xkd = xkd * rdxsq * psdotb[None]
         xkcf = jnp.concatenate([xkc[:1], xkc], axis=0)
-        xkd = xkd * rdxsq * psdotb[None]
 
         # advection ------------------------------------------------------
         uavg1 = shift(umc, 1, 0) + umc
@@ -1420,10 +1435,61 @@ class HydroCore:
         m = self.m_di if dot else self.m_ci
         return (fmap * diff - gmap * lap) * m
 
+    def _diffu6(self, fflux, flim, xk, m):
+        """idiffu=3 6th-order monotonic hyperdiffusion (diffu_*
+        idiffu==3 branches, Main/mod_diffusion.F90:412-519,602-660 —
+        WRF's Knievel et al. 2007 scheme): interface fluxes
+        10·Δ1 − 5·Δ2 + Δ3, zeroed where the flux is up-gradient
+        w.r.t. the map-factor-decoupled field ``flim`` (the
+        reference's cross version limits on f/mpd while fluxing raw
+        f, :637-651 — kept).  Edge handling via index clamping →
+        ``shifte`` replication.  NOTE: the reference's own loops
+        iterate a single row/column (``do j = jdi2, jdi2``,
+        :421/:611) — an evident transcription bug of the WRF scheme,
+        which applies everywhere; implemented here over the full
+        interior as intended."""
+        # one edge-replicating pad per field, then static slices —
+        # the per-shift pad form (12 pads) trips an f32
+        # fusion-emitter assert in both XLA:CPU and the TPU compiler.
+        # Periodic axes (band/CRM topologies) wrap instead of
+        # clamping, matching shift/shifte.
+        from .stencil import _PX, _PY
+        ny, nx = fflux.shape[-2], fflux.shape[-1]
+        lead = [(0, 0)] * (fflux.ndim - 2)
+
+        def padded(a):
+            ay = jnp.pad(a, lead + [(3, 3), (0, 0)],
+                         mode="wrap" if _PY else "edge")
+            return jnp.pad(ay, lead + [(0, 0), (3, 3)],
+                           mode="wrap" if _PX else "edge")
+
+        ffp = padded(fflux)
+        flp = padded(flim)
+
+        def one_axis(dy, dx):
+            def cut(a, n):
+                y0 = 3 + n * dy
+                x0 = 3 + n * dx
+                return a[..., y0:y0 + ny, x0:x0 + nx]
+            sh = lambda n: cut(ffp, n)
+            sl = lambda n: cut(flp, n)
+            fp1 = (10.0 * (sh(1) - sh(0)) - 5.0 * (sh(2) - sh(-1))
+                   + (sh(3) - sh(-2)))
+            fp1 = jnp.where(fp1 * (sl(1) - sl(0)) <= 0.0, 0.0, fp1)
+            fp0 = (10.0 * (sh(0) - sh(-1)) - 5.0 * (sh(1) - sh(-2))
+                   + (sh(2) - sh(-3)))
+            fp0 = jnp.where(fp0 * (sl(0) - sl(-1)) <= 0.0, 0.0, fp0)
+            return fp1 - fp0
+        return xk * (one_axis(0, 1) + one_axis(1, 0)) * m
+
     def _diffu_cross(self, fdec, xkc):
         """diffu_x3d (Main/mod_diffusion.F90:539-660): idiffu=1
         4th-order interior / 2nd-order on the first interior ring;
-        idiffu=2 single 9-point 4th-order operator (:592-601)."""
+        idiffu=2 single 9-point 4th-order operator (:592-601);
+        idiffu=3 6th-order monotonic (_diffu6)."""
+        if self.idiffu == 3:
+            return self._diffu6(fdec, fdec / self.msfd, xkc,
+                                self.m_ci)
         s1 = (shift(fdec, 0, 1) + shift(fdec, 0, -1)
               + shift(fdec, 1, 0) + shift(fdec, -1, 0))
         if self.idiffu == 2:
@@ -1441,8 +1507,11 @@ class HydroCore:
     def _diffu_dot(self, fdec, xkd):
         """diffu_d (Main/mod_diffusion.F90:280-440) applied to a
         decoupled dot field f/msfd; idiffu=2 uses the 9-point
-        4th-order operator (:386-411)."""
+        4th-order operator (:386-411); idiffu=3 6th-order monotonic
+        on u/mpd (:412-519)."""
         fm = fdec / self.msfd
+        if self.idiffu == 3:
+            return self._diffu6(fm, fm, xkd, self.m_di)
         s1 = (shift(fm, 0, 1) + shift(fm, 0, -1)
               + shift(fm, 1, 0) + shift(fm, -1, 0))
         if self.idiffu == 2:

@@ -480,3 +480,84 @@ def emanuel_mixing(body, laycls, h, hp, q, qs, t, lv, qti, clw, ep, m,
         interpret=interpret,
     )(*lev, *col, cld)
     return {k: o.T[:ncol] for k, o in zip(keys, outs)}
+
+
+# ---------------------------------------------------------------------------
+# PBL implicit-diffusion tridiagonal (holtbl, mod_pbl_holtbl.F90:566-660)
+# ---------------------------------------------------------------------------
+
+def _pbl_tridiag_kernel(c1_ref, c2_ref, c3_ref, rhs_ref, out_ref,
+                        ce, cf):
+    """Thomas solve for one (system, y, x) block with the whole
+    column resident in VMEM: the XLA scan form makes 2·kz HBM round
+    trips per system (the dominant PBL cost at flagship size)."""
+    n = c1_ref.shape[1]
+
+    def fwd(k, carry):
+        ce_m1, cf_m1 = carry
+        denom = c2_ref[0, k] - c3_ref[0, k] * ce_m1
+        ce_k = c1_ref[0, k] / denom
+        cf_k = (rhs_ref[0, k] + c3_ref[0, k] * cf_m1) / denom
+        ce[k] = ce_k
+        cf[k] = cf_k
+        return ce_k, cf_k
+
+    z = jnp.zeros_like(rhs_ref[0, 0])
+    jax.lax.fori_loop(0, n, fwd, (z, z))
+
+    out_ref[0, n - 1] = cf[n - 1]
+
+    def bwd(j, x_kp1):
+        k = n - 2 - j
+        x = ce[k] * x_kp1 + cf[k]
+        out_ref[0, k] = x
+        return x
+
+    jax.lax.fori_loop(0, n - 1, bwd, cf[n - 1])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pbl_tridiag(c1, c2, c3, rhs, interpret=False):
+    """Batched tridiagonal solve −c3·x[k−1] + c2·x[k] − c1·x[k+1] =
+    rhs (the holtbl implicit-diffusion recurrence).  Inputs
+    (ns, kz, iy, jx); returns x of the same shape.  Edge tiles are
+    padded with the identity system (c2=1, off-diagonals 0)."""
+    ns, kz, iy, jx = c1.shape
+    by, bx = 8, 128
+    py = (-iy) % by
+    px = (-jx) % bx
+    if py or px:
+        pad = ((0, 0), (0, 0), (0, py), (0, px))
+        c1 = jnp.pad(c1, pad)
+        c3 = jnp.pad(c3, pad)
+        rhs = jnp.pad(rhs, pad)
+        c2 = jnp.pad(c2, pad, constant_values=1.0)
+    grid = (ns, pl.cdiv(iy + py, by), pl.cdiv(jx + px, bx))
+    spec = pl.BlockSpec((1, kz, by, bx), lambda s, i, j: (s, 0, i, j),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _pbl_tridiag_kernel,
+        out_shape=jax.ShapeDtypeStruct(c1.shape, c1.dtype),
+        grid=grid,
+        in_specs=[spec] * 4,
+        out_specs=spec,
+        scratch_shapes=[
+            pltpu.VMEM((kz, by, bx), c1.dtype),
+            pltpu.VMEM((kz, by, bx), c1.dtype),
+        ],
+        interpret=interpret,
+    )(c1, c2, c3, rhs)
+    return out[..., :iy, :jx]
+
+
+def pbl_tridiag_sharded(mesh, c1, c2, c3, rhs, interpret=False):
+    """Column-local: each device solves its own (y, x) block."""
+    from jax.sharding import PartitionSpec as P
+
+    body = lambda a, b, c, d: pbl_tridiag(a, b, c, d,
+                                          interpret=interpret)
+    sm = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, "y", "x"),) * 4,
+        out_specs=P(None, None, "y", "x"), check_vma=False)
+    return sm(c1, c2, c3, rhs)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils import constants as c
+from ...utils.tpu_math import cumsum_mm
 from ...utils.thermo import pfwsat
 
 # emanparam defaults (Main/mod_params.F90:405-422)
@@ -117,8 +118,8 @@ class _LayCF:
 
     sum_i = staticmethod(lambda x: jnp.sum(x, axis=1))
     sum_j = staticmethod(lambda x: jnp.sum(x, axis=2))
-    cumsum_i = staticmethod(lambda x: jnp.cumsum(x, axis=1))
-    cumsum_j = staticmethod(lambda x: jnp.cumsum(x, axis=2))
+    cumsum_i = staticmethod(lambda x: cumsum_mm(x, axis=1))
+    cumsum_j = staticmethod(lambda x: cumsum_mm(x, axis=2))
     rev_i = staticmethod(lambda x: jnp.flip(x, axis=1))
     rev_j = staticmethod(lambda x: jnp.flip(x, axis=2))
     swap_ij = staticmethod(lambda x: jnp.swapaxes(x, 1, 2))
@@ -182,8 +183,8 @@ class _LayCL(_LayCF):
 
     sum_i = staticmethod(lambda x: jnp.sum(x, axis=0))
     sum_j = staticmethod(lambda x: jnp.sum(x, axis=1))
-    cumsum_i = staticmethod(lambda x: jnp.cumsum(x, axis=0))
-    cumsum_j = staticmethod(lambda x: jnp.cumsum(x, axis=1))
+    cumsum_i = staticmethod(lambda x: cumsum_mm(x, axis=0))
+    cumsum_j = staticmethod(lambda x: cumsum_mm(x, axis=1))
     def amp1_ad(self, ment):
         # Mosaic lowers neither `cumsum` nor `rev`: express the two
         # triangular double-sums as 2D mask matmuls over the flattened
@@ -412,8 +413,8 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
     tv = t * (1.0 + q * c.rgowi - q)
     gz = jnp.concatenate([
         jnp.zeros((ncol, 1), t.dtype),
-        jnp.cumsum(0.5 * c.rgas * (tv[:, 1:] + tv[:, :-1])
-                   * (p[:, :-1] - p[:, 1:]) / ph[:, 1:NL2], axis=1)],
+        cumsum_mm(0.5 * c.rgas * (tv[:, 1:] + tv[:, :-1])
+                  * (p[:, :-1] - p[:, 1:]) / ph[:, 1:NL2], axis=1)],
         axis=1)
     h = t * cpn + gz
     hm = (c.cpd * (1.0 - q) + CL * q) * (t - t[:, 0:1]) + lv * q + gz
@@ -484,7 +485,7 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
     by = (tvp - tv) * dph / p
     in_range = (ii >= icb[:, None] + 1) & (ii <= NL - 2)
     by_m = jnp.where(in_range, by, 0.0)
-    cape_cum = jnp.cumsum(by_m, axis=1)
+    cape_cum = cumsum_mm(by_m, axis=1)
     # ict1: one above the highest level with by>=0
     pos = jnp.where(in_range & (by_m >= 0.0), ii, -1)
     ict1 = jnp.max(pos, axis=1) + 1
@@ -683,7 +684,7 @@ def cupeman(t, q, qs, u, v, p, ph, cbmf_in, dt, elcrit, epmax,
     cpinv = 1.0 / cpn
 
     # amp1(i) = Σ_{k>i} m(k) [only for i>=nk] + Σ_{k<=i, j>i} ment(k,j)
-    m_rcum = jnp.flip(jnp.cumsum(jnp.flip(m, axis=1), axis=1), axis=1)
+    m_rcum = cumsum_mm(m, axis=1, reverse=True)
     amp1_m = shift_p1(m_rcum)                     # Σ_{k>=i+1} m(k)
     amp1_m = jnp.where(ii >= nk[:, None], amp1_m, 0.0)
     amp1 = amp1_m + mix["amp1_e"]

@@ -55,7 +55,12 @@ def _tridiag_implicit(f, alphak, betak, dt, sfc_extra):
     mod_pbl_holtbl.F90:566-660): returns predicted field.
 
     f: (kz,…); alphak: (kz,…); betak: (kz,…) with betak[0] unused;
-    sfc_extra: extra RHS at the lowest level (dt·α·flux term)."""
+    sfc_extra: extra RHS at the lowest level (dt·α·flux term).
+    Trailing dims are free — batch extra systems there rather than
+    vmapping (each vmapped copy adds a full 2·kz-step scan; the
+    fully-unrolled sweeps below compile to a handful of fused TPU
+    kernels instead of 2·kz tiny launches, which dominated the
+    flagship PBL cost)."""
     kz = f.shape[0]
     bkp = jnp.concatenate([betak[1:], jnp.zeros_like(betak[:1])], axis=0)
     c1 = dt * alphak * bkp                   # coef1, zero at kz-1
@@ -72,21 +77,63 @@ def _tridiag_implicit(f, alphak, betak, dt, sfc_extra):
         return (ce, cf), (ce, cf)
 
     z2 = jnp.zeros_like(f[0])
-    (_, _), (ce, cf) = jax.lax.scan(fwd, (z2, z2), jnp.arange(kz))
+    (_, _), (ce, cf) = jax.lax.scan(fwd, (z2, z2), jnp.arange(kz),
+                                    unroll=kz)
 
     def bwd(x_kp1, k):
         x = ce[k] * x_kp1 + cf[k]
         return x, x
 
-    _, xs = jax.lax.scan(bwd, cf[kz - 1], jnp.arange(kz - 2, -1, -1))
+    _, xs = jax.lax.scan(bwd, cf[kz - 1], jnp.arange(kz - 2, -1, -1),
+                         unroll=kz - 1)
     x = jnp.concatenate([jnp.flip(xs, 0), cf[kz - 1:kz]], axis=0)
     return x
+
+
+def _tridiag_implicit_many(fs, alphaks, betaks, dt, sfc_extras,
+                           mesh=None):
+    """Solve several implicit-diffusion systems of identical shape at
+    once.  On TPU the systems go through the column-resident Pallas
+    kernel (pallas_kernels.pbl_tridiag — one HBM round trip instead
+    of 2·kz scan steps per system; shard_map'ped when ``mesh`` spans
+    several devices).  Elsewhere they are stacked on a new axis 1 so
+    the whole PBL column block costs two fused sweeps instead of 2
+    per prognostic field."""
+    import os
+
+    from ...dynamics.pallas_kernels import (pbl_tridiag,
+                                            pbl_tridiag_sharded,
+                                            tpu_available)
+    shp = fs[0].shape[1:]
+    kz = fs[0].shape[0]
+    f = jnp.stack(fs, axis=1)
+    al = jnp.stack(alphaks, axis=1)
+    be = jnp.stack(betaks, axis=1)
+    se = jnp.stack([jnp.broadcast_to(jnp.asarray(s, f.dtype), shp)
+                    for s in sfc_extras], axis=0)
+    use_pallas = (tpu_available() and len(shp) == 2
+                  and os.environ.get("REGCM_PBL_PALLAS", "1") != "0")
+    if not use_pallas:
+        x = _tridiag_implicit(f, al, be, dt, se)
+        return tuple(x[:, i] for i in range(len(fs)))
+    # (kz, ns, iy, jx) → (ns, kz, iy, jx) coefficient build
+    bkp = jnp.concatenate([be[1:], jnp.zeros_like(be[:1])], axis=0)
+    c1 = dt * al * bkp
+    c3 = (dt * al * be).at[0].set(0.0)
+    c2 = 1.0 + c1 + c3
+    rhs = f.at[kz - 1].add(se)
+    tr = lambda a: jnp.swapaxes(a, 0, 1)
+    solver = pbl_tridiag if mesh is None or mesh.devices.size == 1 \
+        else (lambda *a: pbl_tridiag_sharded(mesh, *a))
+    x = tr(solver(tr(c1), tr(c2), tr(c3), tr(rhs)))
+    return tuple(x[:, i] for i in range(len(fs)))
 
 
 def holtbl(tpatm, tatm, patm, patmf, qv, qc, ux, vx, udd, vdd,
            za, dzq, rhox2d, uvdrag, hfx, qfx, tg, coriol,
            psb, psdotb, kmxpbl, dt, ricr=0.25, zhnew_fac=0.25,
-           cross2dot_fn=None, m_di=None, m_ci=None) -> HoltslagOut:
+           cross2dot_fn=None, m_di=None, m_ci=None,
+           mesh=None) -> HoltslagOut:
     """One Holtslag PBL step. All 3-D inputs (kz, iy, jx) decoupled;
     udd/vdd decoupled dot winds; returns coupled tendencies."""
     kz = tpatm.shape[0]
@@ -275,10 +322,18 @@ def holtbl(tpatm, tatm, patm, patmf, qv, qc, ux, vx, udd, vdd,
     drgdot = c2d(uvdrag[None])[0]
     uflxsf = drgdot * udd[kz - 1]
     vflxsf = drgdot * vdd[kz - 1]
-    up = _tridiag_implicit(udd, alphak_d, betak_d, dt,
-                           -dt * alphak_d[kz - 1] * uflxsf)
-    vp = _tridiag_implicit(vdd, alphak_d, betak_d, dt,
-                           -dt * alphak_d[kz - 1] * vflxsf)
+    # all five systems in ONE sweep pair (same column structure;
+    # only the coefficients/rhs differ)
+    betak_t = iface_coef(kvh)
+    betak_q = iface_coef(kvq)
+    up, vp, tp, qp, qcp = _tridiag_implicit_many(
+        [udd, vdd, tpatm, qv, qc],
+        [alphak_d, alphak_d, akzz2, akzz2, akzz2],
+        [betak_d, betak_d, betak_t, betak_q, betak_q], dt,
+        [-dt * alphak_d[kz - 1] * uflxsf,
+         -dt * alphak_d[kz - 1] * vflxsf,
+         dt * akzz2[kz - 1] * hfx * c.rcpd,
+         dt * akzz2[kz - 1] * qfx, 0.0], mesh=mesh)
     uten = (up - udd) * rdt * psdotb[None]
     vten = (vp - vdd) * rdt * psdotb[None]
     if m_di is not None:
@@ -286,18 +341,9 @@ def holtbl(tpatm, tatm, patm, patmf, qv, qc, ux, vx, udd, vdd,
         vten = vten * m_di
 
     # temperature (on tpatm, scaled back by sf = tatm·psb/tpatm)
-    betak_t = iface_coef(kvh)
-    tp = _tridiag_implicit(tpatm, akzz2, betak_t, dt,
-                           dt * akzz2[kz - 1] * hfx * c.rcpd)
     sf = (tatm * psb[None]) / tpatm
     tten = (tp - tpatm) * rdt * sf
-    # qv
-    betak_q = iface_coef(kvq)
-    qp = _tridiag_implicit(qv, akzz2, betak_q, dt,
-                           dt * akzz2[kz - 1] * qfx)
     qvten = (qp - qv) * rdt * psb[None]
-    # cloud water
-    qcp = _tridiag_implicit(qc, akzz2, betak_q, dt, 0.0)
     qcten = (qcp - qc) * rdt * psb[None]
 
     # counter-gradient heat term (holtbl :926-975)

@@ -216,7 +216,7 @@ def ccm3_radiation(tb3, qvb3, qcb3, qib3, pb3, pf3, rhb3, dzq,
     plh2o0 = tb.RGSSLP * q[:, :1] * pint[:, :1] ** 2
     plh2o = jnp.concatenate(
         [plh2o0,
-         plh2o0 + jnp.cumsum(tb.RGSSLP * (pint[:, 1:] ** 2
+         plh2o0 + lwmod.cumsum_mm(tb.RGSSLP * (pint[:, 1:] ** 2
                                           - pint[:, :-1] ** 2) * q,
                              axis=1)], axis=1)
     cpwpl = (tb.AMCO2 / tb.AMD) * 0.5 / (tb.EGRAVGTS * tb.SSLP)

@@ -22,6 +22,10 @@ import jax.numpy as jnp
 from . import tables as tb
 
 
+from ....utils.tpu_math import cumprod_hs, cumsum_mm  # noqa: F401 (level-axis
+# cumsums use the MXU triangular-matmul form; see utils/tpu_math.py)
+
+
 def _dbvt(t):
     """Planck derivative at 9.6 µm (dbvt)."""
     return (-2.8911366682e-4 + (2.3771251896e-6 + 1.1305188929e-10 * t)
@@ -62,13 +66,13 @@ def radtpl(ts, tnm, pmln, qnm, piln, pint, plh2o):
     s2c0 = plh2o[:, :1] * jnp.exp(1800.0 * (rtnm[:, :1] - tb.R296)) \
         * qnm[:, :1] * tb.REPSIL
     s2t = jnp.concatenate(
-        [s2t0, s2t0 + jnp.cumsum(tb.RGSSLP * dpnmsq * qnm * tnm,
+        [s2t0, s2t0 + cumsum_mm(tb.RGSSLP * dpnmsq * qnm * tnm,
                                  axis=1)], axis=1)
     w = jnp.concatenate(
-        [w0, w0 + jnp.cumsum(tb.REGRAVGTS * qnm * dpnm, axis=1)],
+        [w0, w0 + cumsum_mm(tb.REGRAVGTS * qnm * dpnm, axis=1)],
         axis=1)
     s2c = jnp.concatenate(
-        [s2c0, s2c0 + jnp.cumsum(
+        [s2c0, s2c0 + cumsum_mm(
             tb.RGSSLP * dpnmsq * qnm
             * jnp.exp(1800.0 * (rtnm - tb.R296)) * qnm * tb.REPSIL,
             axis=1)], axis=1)
@@ -81,11 +85,11 @@ def radoz2(o3vmr, pint):
     plos0 = 0.1 * tb.CPLOS * o3vmr[:, :1] * pint[:, :1]
     plol0 = 0.01 * tb.CPLOL * o3vmr[:, :1] * pint[:, :1] ** 2
     plos = jnp.concatenate(
-        [plos0, plos0 + jnp.cumsum(
+        [plos0, plos0 + cumsum_mm(
             0.1 * tb.CPLOS * o3vmr * (pint[:, 1:] - pint[:, :-1]),
             axis=1)], axis=1)
     plol = jnp.concatenate(
-        [plol0, plol0 + jnp.cumsum(
+        [plol0, plol0 + cumsum_mm(
             0.01 * tb.CPLOL * o3vmr
             * (pint[:, 1:] ** 2 - pint[:, :-1] ** 2), axis=1)], axis=1)
     return plos, plol
@@ -187,7 +191,7 @@ def trcpth(tnm, pnm, cfc11, cfc12, n2o, ch4, qnm, co2mmr):
         uptype=diff * qnm * jnp.exp(1800.0 * (1.0 / tnm - 1.0 / 296.0))
         * pbar * dpnm)
     return {key: jnp.concatenate(
-        [top[key], top[key] + jnp.cumsum(inc[key], axis=1)], axis=1)
+        [top[key], top[key] + cumsum_mm(inc[key], axis=1)], axis=1)
         for key in top}
 
 
@@ -313,7 +317,7 @@ def radems(pint, tp, plh2o, plco2, plos, plol, paths, emplnk,
     xsum = tplnke * pint[:, :1] \
         + jnp.concatenate(
             [jnp.zeros((ncol, 1), pint.dtype),
-             jnp.cumsum(tlayr[:, 1:] * dp, axis=1)], axis=1)
+             cumsum_mm(tlayr[:, 1:] * dp, axis=1)], axis=1)
     co2t = xsum / pint
     exl = jnp.exp(960.0 / tlayr[:, 1:])
     co2eml = 1.2e11 * exl / (tlayr[:, 1:] * tlayr4[:, 1:]
@@ -857,7 +861,7 @@ def radclw(ts, emiss, effcld, tp, emsgastot, abstot, absnxt, pint):
     # tclrsf(j+1)); tclrsf(1)=1; tclrsf(k+1)=tclrsf(k)*(1-cld(k+1))
     tclrsf = jnp.concatenate(
         [jnp.ones((ncol, 1), dtype),
-         jnp.cumprod(1.0 - effcld[:, 1:], axis=1)], axis=1)
+         cumprod_hs(1.0 - effcld[:, 1:], axis=1)], axis=1)
     rtclrsf = 1.0 / jnp.maximum(tclrsf, 1e-30)
 
     # lowest/highest cloudy bottom-index (klov/khiv; bottom index k has
@@ -901,7 +905,7 @@ def radclw(ts, emiss, effcld, tp, emsgastot, abstot, absnxt, pint):
                     jnp.where(k_ax == km_ax - 1, an(2), bk_far))
     B = stebol * (bk2 * delt[:, None, :] + bk1 * delt1[:, None, :])
     # s(k,km) = sum_{m=km..kzp1} B(k,m): reversed cumsum on km axis
-    s_km = jnp.cumsum(B[:, :, ::-1], axis=2)[:, :, ::-1]
+    s_km = cumsum_mm(B, axis=2, reverse=True)
     # 1-based padded S: S[:, k, c] = s(k, c) for k in 1..kzp1,
     # c in 2..kzp1; shape (ncol, kzp1+1, kzp1+2) zero elsewhere
     S = jnp.zeros((ncol, kzp1 + 1, kzp1 + 2), dtype)

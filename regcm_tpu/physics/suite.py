@@ -651,6 +651,7 @@ class PhysicsSuite:
             qsphy = qsphy + out.qxten[4] * pfac
             precip = (out.rainnc + out.snownc) * m_ci
             sfupd["rainnc"] = s.rainnc + precip * core.dtsec
+        elif self.cfg.physics.ipptls == 3:
             # WSM5 (Main/mod_micro_interface.F90 microscheme → wsm5,
             # Main/microlib/mod_micro_wsm5.F90:214). Tendencies are
             # (new−old)·p*/dt exactly like ptfac coupling (wsm5:296-307).
@@ -854,12 +855,20 @@ class PhysicsSuite:
                 from .surface.slab import update_slabocean
                 sp = self.cfg.slaboc
                 ocmask = core.grid_lndocn < 0.5
+                # SOM monthly q-flux adjustment (qflux_adj = qflb0 +
+                # xt·qflbt, mod_slabocean.F90:125; qflb0 carries the
+                # month-interpolated value via the boundary alarm)
+                qadj = 0.0
+                if sp.do_qflux_adj and bdy is not None \
+                        and getattr(bdy, "qflb0", None) is not None:
+                    qadj = bdy.qflb0
                 sst_new, _ = update_slabocean(
                     tg, core.sst, ocmask, swabs, -lwnet, hfx, qfx,
                     self.cfg.time.dtsrf,
                     mixed_layer_depth=sp.mixed_layer_depth,
                     do_restore_sst=sp.do_restore_sst,
-                    sst_restore_timescale=sp.sst_restore_timescale)
+                    sst_restore_timescale=sp.sst_restore_timescale,
+                    qflux_adj=qadj)
                 tg = sst_new
             if self.cfg.physics.idcsst == 1 and not slab:
                 # Zeng-Beljaars diurnal warm layer + cool skin
@@ -940,7 +949,8 @@ class PhysicsSuite:
                 jnp.ones_like(cpl) if mo else cross2dot(psb),
                 kmx, dt, ricr=self.ricr,
                 cross2dot_fn=None if mo else cross2dot,
-                m_di=None if mo else core.m_di, m_ci=core.m_ci)
+                m_di=None if mo else core.m_di, m_ci=core.m_ci,
+                mesh=getattr(core, "mesh", None))
             hout = out
             tphy = tphy + out.tten
             qvphy = qvphy + out.qvten
@@ -1079,9 +1089,14 @@ class PhysicsSuite:
                 from .pbl.holtslag import _tridiag_implicit
                 rpsb3 = atms["rpsb"]
                 chib3 = jnp.maximum(s.chi_b * rpsb3[None], 0.0)
-                chip = jax.vmap(
-                    lambda fld: _tridiag_implicit(
-                        fld, hout.alphak, hout.betak_q, dt, 0.0))(chib3)
+                # one sweep pair for all tracers: the solver batches
+                # over trailing dims, so put ntr after kz instead of
+                # vmapping ntr separate 2·kz-step scans
+                chip = _tridiag_implicit(
+                    jnp.swapaxes(chib3, 0, 1),
+                    hout.alphak[:, None], hout.betak_q[:, None],
+                    dt, 0.0)
+                chip = jnp.swapaxes(chip, 0, 1)
                 chiten_chem = chiten_chem + (chip - chib3) / dt \
                     * cpl[None] * m_ci
             # Tiedtke internal convective tracer transport (ctracer,

@@ -119,6 +119,92 @@ def extract(outdir: str, var: str, dest: Optional[str] = None,
     return dest
 
 
+def compute_mean(path: str, window: str = "mon",
+                 dest: Optional[str] = None) -> str:
+    """Time-mean of a single-variable CORDEX file (means.py
+    compute_mean, Tools/Scripts/pycordexer/means.py:8-120): groups
+    the instantaneous records by day or month and writes a new file
+    with the matching ``frequency`` attribute.  Time is the
+    repo-standard hours since 1949-12-01."""
+    from ..utils.calendar import Date
+    if window not in ("day", "mon"):
+        raise ValueError("window must be 'day' or 'mon'")
+    data, attrs = read_nc(path, with_attrs=True)
+    times = np.asarray(data["time"], dtype=np.float64)
+    var = [n for n, a in data.items()
+           if np.asarray(a).ndim >= 3 and n not in ("xlat", "xlon")]
+    if len(var) != 1:
+        raise ValueError(f"expected one record variable, got {var}")
+    var = var[0]
+    arr = np.asarray(data[var], dtype=np.float64)
+    epoch = Date(1949, 12, 1)
+    keys = []
+    for t in times:
+        d = epoch.add_hours(float(t))
+        keys.append((d.year, d.month) if window == "mon"
+                    else (d.year, d.month, d.day))
+    groups: Dict[tuple, list] = {}
+    for n, k in enumerate(keys):
+        groups.setdefault(k, []).append(n)
+    dest = dest or path.replace(".nc", f"_{window}mean.nc")
+    dims = {"iy": arr.shape[-2], "jx": arr.shape[-1]}
+    vdims = ("iy", "jx")
+    if arr.ndim == 4:
+        dims["kz"] = arr.shape[1]
+        vdims = ("kz", "iy", "jx")
+    va = attrs.get(var, {})
+    dec = lambda x: x.decode() if isinstance(x, bytes) else str(x)
+    w = NCWriter(dest, dims=dims, attrs={
+        "title": f"CORDEX {var} {window} mean",
+        "project_id": "CORDEX",
+        "frequency": window})
+    for nm in ("xlat", "xlon"):
+        if nm in data:
+            w.def_static(nm, ("iy", "jx"), np.asarray(data[nm]),
+                         "degrees")
+    w.def_time_var(var, vdims, dec(va.get("units", "")),
+                   dec(va.get("long_name", "")),
+                   dec(va.get("standard_name", "")))
+    for k in sorted(groups):
+        idx = groups[k]
+        w.write_record(float(times[idx].mean()),
+                       {var: arr[idx].mean(axis=0)})
+    w.close()
+    return dest
+
+
+def listen(outdir: str, variables, interval: float = 5.0,
+           max_polls: Optional[int] = None, domain: str = "domain"):
+    """Output-directory watcher (the ``cordex_listener`` daemon,
+    Tools/Scripts/pycordexer/cordex_listener.py): poll the model
+    output directory and re-extract each requested CORDEX variable
+    whenever its source stream grows.  ``max_polls`` bounds the loop
+    (None = run until interrupted, like the reference daemon)."""
+    import time as _time
+    seen: Dict[tuple, float] = {}
+    produced = []
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        polls += 1
+        for var in variables:
+            stream, _ = CORDEX[var]["src"]
+            try:
+                path = _find_stream(outdir, stream)
+            except FileNotFoundError:
+                continue
+            mtime = os.path.getmtime(path)
+            if seen.get((path, var)) == mtime:
+                continue
+            try:
+                produced.append(extract(outdir, var, domain=domain))
+                seen[(path, var)] = mtime
+            except (KeyError, ValueError):
+                pass
+        if max_polls is None or polls < max_polls:
+            _time.sleep(interval)
+    return produced
+
+
 def main(argv=None):
     import argparse
     ap = argparse.ArgumentParser(
@@ -126,9 +212,20 @@ def main(argv=None):
     ap.add_argument("outdir", help="model output directory")
     ap.add_argument("variables", nargs="+",
                     help=f"CORDEX names: {sorted(CORDEX)}")
+    ap.add_argument("--mean", choices=("day", "mon"), default=None,
+                    help="also write the day/mon mean (means.py)")
+    ap.add_argument("--listen", action="store_true",
+                    help="watch the output dir (cordex_listener)")
+    ap.add_argument("--interval", type=float, default=5.0)
     args = ap.parse_args(argv)
+    if args.listen:
+        listen(args.outdir, args.variables, interval=args.interval)
+        return 0
     for v in args.variables:
-        print("wrote", extract(args.outdir, v))
+        path = extract(args.outdir, v)
+        print("wrote", path)
+        if args.mean:
+            print("wrote", compute_mean(path, args.mean))
     return 0
 
 

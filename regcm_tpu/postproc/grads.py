@@ -70,14 +70,72 @@ def write_ctl(ncpath: str, ctlpath: Optional[str] = None) -> str:
     return ctlpath
 
 
+def ncplot(ncpath: str, outdir: Optional[str] = None,
+           launch_grads: bool = True):
+    """``GrADSNcPlot`` equivalent (PostProc/GrADSNcPlot.F90): write
+    the .ctl descriptor plus a display script and hand off to GrADS
+    (``grads -l -c temp.gs``, :809-811) when the binary exists;
+    otherwise render a matplotlib quick-look PNG per time-varying
+    variable (lowest level, last record) — the same "open the stream
+    and look at every field" workflow without the external GrADS
+    dependency."""
+    import shutil
+    import subprocess
+
+    from .. io.ncio import read_nc
+    ctl = write_ctl(ncpath)
+    outdir = outdir or os.path.dirname(os.path.abspath(ncpath))
+    data = read_nc(ncpath)
+    names = [n for n, a in data.items()
+             if np.asarray(a).ndim >= 3 and n not in
+             ("time", "xlat", "xlon", "topo")]
+    gs = os.path.join(outdir, "temp.gs")
+    with open(gs, "w") as f:
+        f.write(f"'open {os.path.basename(ctl)}'\n")
+        for n in names:
+            f.write(f"'clear'\n'display {n}'\n"
+                    f"'draw title {n}'\n'printim {n}.png'\n")
+        f.write("'quit'\n")
+    if launch_grads and shutil.which("grads"):
+        subprocess.run(["grads", "-l", "-c", os.path.basename(gs)],
+                       cwd=outdir, check=False)
+        return [ctl, gs]
+    # matplotlib fallback
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    made = [ctl, gs]
+    for n in names:
+        a = np.asarray(data[n])
+        fld = a[-1]
+        while fld.ndim > 2:
+            fld = fld[-1]                       # lowest level
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        im = ax.pcolormesh(fld, shading="auto")
+        fig.colorbar(im, ax=ax)
+        ax.set_title(n)
+        png = os.path.join(outdir, f"{n}.png")
+        fig.savefig(png, dpi=90)
+        plt.close(fig)
+        made.append(png)
+    return made
+
+
 def main(argv=None):
     import argparse
     ap = argparse.ArgumentParser(
-        description="GrADS ctl generator (GrADSNcPrepare equivalent)")
+        description="GrADS tooling (GrADSNcPrepare/GrADSNcPlot "
+                    "equivalents)")
     ap.add_argument("ncfile")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--plot", action="store_true",
+                    help="also render quick-look plots (GrADSNcPlot)")
     args = ap.parse_args(argv)
-    print("wrote", write_ctl(args.ncfile, args.out))
+    if args.plot:
+        for p in ncplot(args.ncfile, args.out):
+            print("wrote", p)
+    else:
+        print("wrote", write_ctl(args.ncfile, args.out))
     return 0
 
 

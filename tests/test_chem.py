@@ -35,8 +35,11 @@ def test_species_registry():
     assert su.names == ["SO2", "SO4"] and su.ioxclim == 1
     ae = build_species("AERO")
     assert ae.ntr == 12 and ae.iso2 == 4 and ae.aging_pairs
+    dc = build_species("DCCB")
+    assert dc.ntr == 50 and dc.isna == 1 and dc.igaschem == 1
+    assert dc.names[-2:] == ["ANO3", "ANH4"]
     with pytest.raises(ValueError):
-        build_species("DCCB")
+        build_species("MINE")
 
 
 def test_dust_tables_normalized():

@@ -41,12 +41,69 @@ def test_pgf_diffusion_advection_options():
     m1 = _run(ipgf=1)
     m2 = _run(idiffu=2)
     m3 = _run(upstream=True)
+    m6 = _run(idiffu=3)
     # each option is active (distinct trajectory) and stable
     assert float(jnp.abs(m1.state.u_a - m0.state.u_a).max()) > 0.0
     assert float(jnp.abs(m2.state.t_a - m0.state.t_a).max()) > 0.0
     assert float(jnp.abs(m3.state.t_a - m0.state.t_a).max()) > 0.0
+    assert float(jnp.abs(m6.state.t_a - m0.state.t_a).max()) > 0.0
     with pytest.raises(ValueError, match="idiffu"):
-        _run(idiffu=3)
+        _run(idiffu=4)
+
+
+@needs_ref
+def test_idiffu3_monotonic_oracle():
+    """6th-order monotonic diffusion vs a literal f64 re-derivation of
+    the Fortran flux loops (diffu_x3d idiffu==3 branch,
+    Main/mod_diffusion.F90:736-860: h4 coefficients, index clamping,
+    flux-limiter sign test on f/mpd; applied over the full interior —
+    the reference's own loop covers a single row, see _diffu6
+    docstring)."""
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.dynamics.hydrostatic import HydroCore
+    cfg = RegCMConfig.from_file(NML)
+    cfg.dim.iy, cfg.dim.jx = 12, 14
+    cfg.physics.idiffu = 3
+    grid = build_grid(cfg)
+    core = HydroCore(grid, cfg, dtype=jnp.float64, physics=None)
+    rng = np.random.default_rng(11)
+    kz, iy, jx = 5, 12, 14
+    f = rng.normal(size=(kz, iy, jx))
+    mpd = np.asarray(grid.msfd)
+    got = np.asarray(core._diffu6(
+        jnp.asarray(f), jnp.asarray(f / mpd[None]),
+        jnp.asarray(1.0), jnp.ones((iy, jx))))
+
+    h1, h2, h3 = 10.0, -5.0, 1.0
+    want = np.zeros_like(f)
+    cl = lambda n, hi: min(max(n, 0), hi - 1)
+    for k in range(kz):
+        for i in range(iy):
+            for j in range(jx):
+                acc = 0.0
+                for ax in (0, 1):            # x then y sweep
+                    def g(n):
+                        if ax == 0:
+                            return f[k, i, cl(j + n, jx)]
+                        return f[k, cl(i + n, iy), j]
+
+                    def gl(n):
+                        if ax == 0:
+                            return f[k, i, cl(j + n, jx)] \
+                                / mpd[i, cl(j + n, jx)]
+                        return f[k, cl(i + n, iy), j] \
+                            / mpd[cl(i + n, iy), j]
+                    fp1 = (h1 * (g(1) - g(0)) + h2 * (g(2) - g(-1))
+                           + h3 * (g(3) - g(-2)))
+                    if fp1 * (gl(1) - gl(0)) <= 0.0:
+                        fp1 = 0.0
+                    fp0 = (h1 * (g(0) - g(-1)) + h2 * (g(1) - g(-2))
+                           + h3 * (g(2) - g(-3)))
+                    if fp0 * (gl(0) - gl(-1)) <= 0.0:
+                        fp0 = 0.0
+                    acc += fp1 - fp0
+                want[k, i, j] = acc
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
 @needs_ref

@@ -229,6 +229,26 @@ def test_cordex_extraction_and_grads(cfg, tmp_path):
     txt = open(ctl).read()
     assert "DTYPE netcdf" in txt and "ENDVARS" in txt
     assert "tpr=>tpr" in txt
+    # pycordexer means.py: daily mean collapses records, keeps units
+    from regcm_tpu.postproc.cordexer import compute_mean, listen
+    pr_path = extract(outdir, "pr")
+    mp = compute_mean(pr_path, "day")
+    md, mattrs = read_nc(mp, with_attrs=True)
+    pd_ = read_nc(pr_path)
+    assert md["pr"].shape[0] <= pd_["pr"].shape[0]
+    np.testing.assert_allclose(md["pr"].mean(), pd_["pr"].mean(),
+                               rtol=1e-5)
+    with pytest.raises(ValueError):
+        compute_mean(pr_path, "year")
+    # cordex_listener daemon: one poll re-extracts requested vars
+    made = listen(outdir, ["tas", "hfss"], max_polls=1)
+    assert len(made) == 2 and all(os.path.exists(p) for p in made)
+    # GrADSNcPlot equivalent: ctl + gs + quick-look renders
+    from regcm_tpu.postproc.grads import ncplot
+    arts = ncplot(os.path.join(outdir, srf), launch_grads=False)
+    assert any(a.endswith(".gs") for a in arts)
+    pngs = [a for a in arts if a.endswith(".png")]
+    assert pngs and all(os.path.getsize(p) > 1000 for p in pngs)
 
 
 def test_coupling_contract(cfg, tmp_path):
@@ -379,3 +399,74 @@ def test_zarr_stream_matches_netcdf(cfg, tmp_path):
                                    atol=2e-6 * scale)
     # static/coordinate parity too
     np.testing.assert_allclose(zr["xlat"], nc["xlat"], atol=1e-5)
+
+
+def test_som_qflux_pipeline(tmp_path):
+    """SOM q-flux loop (open_som/read_som, mod_ncio.F90:753,1130;
+    mod_slabocean.F90:125): monthly climatology built from a
+    restoring-run SLABOC stream, attached to a do_qflux_adj slab run;
+    a strong positive q-flux warms the slab SST relative to the
+    baseline."""
+    from regcm_tpu.io.ncio import NCWriter
+    from regcm_tpu.preproc.som import make_som
+    from regcm_tpu.config.params import RegCMConfig
+    from regcm_tpu.core.grid import build_grid
+    from regcm_tpu.driver import Model
+
+    # synthetic SLABOC stream: 4 records across two months
+    iy, jx = 11, 13
+    w = NCWriter(str(tmp_path / "slaboc.nc"), {"iy": iy, "jx": jx})
+    w.def_time_var("qflx_restore", ("iy", "jx"), "W m-2", "restore")
+    h0 = (jnp.asarray(0.0),)  # noqa: placeholder to keep jnp imported
+    from regcm_tpu.utils.calendar import Date
+    ep = Date(1949, 12, 1)
+    for date, val in ((Date(1990, 6, 5), 100.0),
+                      (Date(1990, 6, 25), 300.0),
+                      (Date(1990, 7, 10), 50.0),
+                      (Date(1990, 7, 20), 150.0)):
+        w.write_record((date - ep) / 3600.0,
+                       {"qflx_restore": np.full((iy, jx), val)})
+    w.close()
+    som = make_som(str(tmp_path / "slaboc.nc"),
+                   str(tmp_path / "SOM.nc"))
+    from regcm_tpu.io.ncio import read_nc
+    d = read_nc(som)
+    assert d["qflx"].shape == (12, iy, jx)
+    np.testing.assert_allclose(d["qflx"][5], 200.0)    # June mean
+    np.testing.assert_allclose(d["qflx"][6], 100.0)    # July mean
+    np.testing.assert_allclose(d["qflx"][0], 0.0)      # unsimulated
+
+    # slab model with the q-flux adjustment vs baseline
+    def run(with_som):
+        cfg = RegCMConfig.from_file(
+            "/root/reference/Testing/test_001.in")
+        cfg.dim.iy, cfg.dim.jx = 12, 14
+        cfg.physics.islab_ocean = 1
+        cfg.slaboc.do_qflux_adj = True
+        cfg.slaboc.do_restore_sst = False
+        grid = build_grid(cfg)
+        grid.lndocn[:, 7:] = 0.0             # half ocean
+        m = Model(cfg, grid=grid, dtype=jnp.float64)
+        if with_som:
+            # amplified q-flux so two srf steps move SST measurably
+            amp = make_som(str(tmp_path / "slaboc.nc"),
+                           str(tmp_path / "SOM2.nc"))
+            q = read_nc(amp)["qflx"] * 0.0 + 500.0
+            w2 = NCWriter(str(tmp_path / "SOM3.nc"),
+                          {"iy": iy, "jx": jx})
+            w2.def_time_var("qflx", ("iy", "jx"), "W m-2", "q")
+            for mm in range(12):
+                w2.write_record(float(mm + 1), {"qflx": q[mm]})
+            w2.close()
+            m.attach_som(str(tmp_path / "SOM3.nc"))
+            assert m.bdy.qflb0 is not None
+        for _ in range(4):
+            m.step()
+        ocean = np.asarray(m.core.grid_lndocn) < 0.5
+        return np.asarray(m.state.tg)[ocean].mean()
+
+    sst_som = run(True)
+    sst_base = run(False)
+    # one 600 s srf step of +500 W/m² over a 50 m mixed layer:
+    # ΔT = 500·600/(50·4e6) = 1.5e-3 K
+    np.testing.assert_allclose(sst_som - sst_base, 1.5e-3, rtol=0.2)

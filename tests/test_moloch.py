@@ -251,3 +251,45 @@ def test_pallas_tridiag_w_sharded_equivalence():
     mesh = make_mesh()
     got = tridiag_w_sharded(mesh, wexpl, zm, zp, wbot, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_pbl_tridiag_equivalence():
+    """The Pallas PBL implicit-diffusion kernel (interpret mode)
+    matches the lax.scan Thomas sweeps (holtbl tridiagonal,
+    mod_pbl_holtbl.F90:566-660), including non-tile-aligned edges."""
+    from regcm_tpu.dynamics.pallas_kernels import pbl_tridiag
+    from regcm_tpu.physics.pbl.holtslag import _tridiag_implicit
+    rng = np.random.default_rng(3)
+    ns, kz, iy, jx = 5, 18, 13, 21
+    al = jnp.asarray(rng.uniform(0.1, 1.0, (kz, ns, iy, jx)))
+    be = jnp.asarray(rng.uniform(0.1, 1.0, (kz, ns, iy, jx)))
+    f = jnp.asarray(rng.normal(size=(kz, ns, iy, jx)))
+    dt = 150.0
+    ref = _tridiag_implicit(f, al, be, dt, 0.0)
+    bkp = jnp.concatenate([be[1:], jnp.zeros_like(be[:1])], axis=0)
+    c1 = dt * al * bkp
+    c3 = (dt * al * be).at[0].set(0.0)
+    c2 = 1.0 + c1 + c3
+    tr = lambda a: jnp.swapaxes(a, 0, 1)
+    got = tr(pbl_tridiag(tr(c1), tr(c2), tr(c3), tr(f),
+                         interpret=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_pbl_tridiag_sharded_equivalence():
+    """shard_map'ped PBL solve == single-device (column-local)."""
+    from regcm_tpu.dynamics.pallas_kernels import (pbl_tridiag,
+                                                   pbl_tridiag_sharded)
+    from regcm_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(4)
+    ns, kz, iy, jx = 2, 9, 16, 16
+    c1 = jnp.asarray(rng.uniform(0.0, 0.5, (ns, kz, iy, jx)))
+    c3 = jnp.asarray(rng.uniform(0.0, 0.5, (ns, kz, iy, jx)))
+    c2 = 1.0 + c1 + c3
+    rhs = jnp.asarray(rng.normal(size=(ns, kz, iy, jx)))
+    want = pbl_tridiag(c1, c2, c3, rhs, interpret=True)
+    mesh = make_mesh()
+    got = pbl_tridiag_sharded(mesh, c1, c2, c3, rhs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)

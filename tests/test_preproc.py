@@ -811,3 +811,30 @@ def test_gcm_unknown_dattyp_refused():
     import pytest as _pt
     with _pt.raises(ValueError, match="not ported"):
         GCMSource("/tmp", "CA_RF")
+
+
+def test_clmbc_forcing_generator(tmp_path):
+    """clmbc equivalent (PreProc/ICBC/clmbc.F90): hourly CLM forcing
+    records (pr/ssr/strd/clt + statics) over the namelist window; the
+    synthetic fallback's solar forcing must follow the diurnal cycle."""
+    import copy
+    from regcm_tpu.config.params import RegCMConfig
+    from regcm_tpu.preproc.clmbc import generate_clmbc
+    from regcm_tpu.io.ncio import read_nc
+    cfg = RegCMConfig.from_file("/root/reference/Testing/test_001.in")
+    cfg = copy.deepcopy(cfg)
+    cfg.dim.iy, cfg.dim.jx = 12, 16
+    cfg.globdat.gdate1, cfg.globdat.gdate2 = 1990060100, 1990060123
+    out = generate_clmbc(cfg, str(tmp_path / "clmbc.nc"))
+    d = read_nc(out)
+    assert d["pr"].shape == (24, 12, 16)
+    for v in ("pr", "ssr", "strd", "clt", "xlat", "topo", "mask"):
+        assert np.isfinite(d[v]).all(), v
+    assert d["pr"].min() >= 0.0
+    # diurnal solar cycle: ssr peaks in local day, zero at local night
+    ssr = d["ssr"]
+    assert ssr.max() > 300.0
+    assert ssr.min() == 0.0
+    # longwave magnitude physical
+    assert 100.0 < d["strd"].mean() < 500.0
+    assert 0.0 <= d["clt"].min() and d["clt"].max() <= 1.0
